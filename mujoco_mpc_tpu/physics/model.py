@@ -1,0 +1,425 @@
+"""Model / Data pytrees for the TPU-native physics engine.
+
+`Model` is produced host-side from a compiled `mujoco.MjModel` (the C library
+acts purely as the MJCF compiler); all tree-structure metadata is kept as
+static numpy arrays so that per-body loops unroll at trace time, while
+numeric parameters live on device. `Data` is the dynamic state + all derived
+quantities, mirroring the role of mjData (reference:
+/root/reference/mjpc states use [qpos,qvel,act] packing, states/state.h:83-86).
+
+Robotics models are small (nv <= ~50); the TPU batch axis comes from vmapping
+thousands of candidate rollouts over `Data`, so all per-model loops unroll and
+all shapes are static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+  import mujoco  # host-side MJCF compiler + test oracle
+except ImportError:  # pragma: no cover
+  mujoco = None
+
+from flax import struct
+
+# Joint types (match mjtJoint values)
+FREE = 0
+BALL = 1
+SLIDE = 2
+HINGE = 3
+
+# Geom types (match mjtGeom values)
+GEOM_PLANE = 0
+GEOM_HFIELD = 1
+GEOM_SPHERE = 2
+GEOM_CAPSULE = 3
+GEOM_ELLIPSOID = 4
+GEOM_CYLINDER = 5
+GEOM_BOX = 6
+GEOM_MESH = 7
+
+# Integrators
+EULER = 0
+RK4 = 1
+IMPLICIT = 2
+IMPLICITFAST = 3
+
+# Actuator dynamics / gain / bias types (match mjtDyn/mjtGain/mjtBias)
+DYN_NONE = 0
+DYN_INTEGRATOR = 1
+DYN_FILTER = 2
+DYN_FILTEREXACT = 3
+DYN_MUSCLE = 4
+GAIN_FIXED = 0
+GAIN_AFFINE = 1
+GAIN_MUSCLE = 2
+BIAS_NONE = 0
+BIAS_AFFINE = 1
+BIAS_MUSCLE = 2
+
+# Transmission types (mjtTrn)
+TRN_JOINT = 0
+TRN_JOINTINPARENT = 1
+TRN_SLIDERCRANK = 2
+TRN_TENDON = 3
+TRN_SITE = 4
+TRN_BODY = 5
+
+# Condim-invariant max friction-cone dims handled (pyramidal)
+_MJ_MINVAL = 1e-15
+
+
+def _np(x) -> np.ndarray:
+  return np.array(x, copy=True)
+
+
+@struct.dataclass
+class Option:
+  """Subset of mjOption needed by the pipeline."""
+  timestep: jax.Array
+  gravity: jax.Array
+  wind: jax.Array
+  density: jax.Array
+  viscosity: jax.Array
+  impratio: jax.Array
+  # static fields
+  integrator: int = struct.field(pytree_node=False, default=EULER)
+  iterations: int = struct.field(pytree_node=False, default=50)
+  ls_iterations: int = struct.field(pytree_node=False, default=25)
+  tolerance: float = struct.field(pytree_node=False, default=1e-8)
+  disableflags: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class Model:
+  """Static model description (device arrays + static numpy metadata)."""
+
+  # ---- static metadata (trace-time constants) ----
+  nq: int = struct.field(pytree_node=False)
+  nv: int = struct.field(pytree_node=False)
+  nu: int = struct.field(pytree_node=False)
+  na: int = struct.field(pytree_node=False)
+  nbody: int = struct.field(pytree_node=False)
+  njnt: int = struct.field(pytree_node=False)
+  ngeom: int = struct.field(pytree_node=False)
+  nsite: int = struct.field(pytree_node=False)
+  nmocap: int = struct.field(pytree_node=False)
+  nuserdata: int = struct.field(pytree_node=False)
+  nsensordata: int = struct.field(pytree_node=False)
+
+  body_parentid: np.ndarray = struct.field(pytree_node=False)
+  body_rootid: np.ndarray = struct.field(pytree_node=False)
+  body_jntadr: np.ndarray = struct.field(pytree_node=False)
+  body_jntnum: np.ndarray = struct.field(pytree_node=False)
+  body_dofadr: np.ndarray = struct.field(pytree_node=False)
+  body_dofnum: np.ndarray = struct.field(pytree_node=False)
+  body_mocapid: np.ndarray = struct.field(pytree_node=False)
+  jnt_type: np.ndarray = struct.field(pytree_node=False)
+  jnt_qposadr: np.ndarray = struct.field(pytree_node=False)
+  jnt_dofadr: np.ndarray = struct.field(pytree_node=False)
+  jnt_bodyid: np.ndarray = struct.field(pytree_node=False)
+  jnt_limited: np.ndarray = struct.field(pytree_node=False)
+  dof_bodyid: np.ndarray = struct.field(pytree_node=False)
+  dof_jntid: np.ndarray = struct.field(pytree_node=False)
+  dof_parentid: np.ndarray = struct.field(pytree_node=False)
+  geom_type: np.ndarray = struct.field(pytree_node=False)
+  geom_bodyid: np.ndarray = struct.field(pytree_node=False)
+  geom_condim: np.ndarray = struct.field(pytree_node=False)
+  geom_priority: np.ndarray = struct.field(pytree_node=False)
+  site_bodyid: np.ndarray = struct.field(pytree_node=False)
+  actuator_trntype: np.ndarray = struct.field(pytree_node=False)
+  actuator_trnid: np.ndarray = struct.field(pytree_node=False)
+  actuator_dyntype: np.ndarray = struct.field(pytree_node=False)
+  actuator_gaintype: np.ndarray = struct.field(pytree_node=False)
+  actuator_biastype: np.ndarray = struct.field(pytree_node=False)
+  actuator_ctrllimited: np.ndarray = struct.field(pytree_node=False)
+  actuator_forcelimited: np.ndarray = struct.field(pytree_node=False)
+  actuator_actadr: np.ndarray = struct.field(pytree_node=False)
+  actuator_actnum: np.ndarray = struct.field(pytree_node=False)
+  # ancestor mask: anc[i, j] = 1 if dof j is on the path root->dof i (j<=i)
+  dof_ancestor_mask: np.ndarray = struct.field(pytree_node=False)
+  # precomputed static collision pairs, grouped by type pair (see collision.py)
+  collision_pairs: Any = struct.field(pytree_node=False, default=None)
+  # name maps (host-side convenience)
+  names: Any = struct.field(pytree_node=False, default=None)
+
+  # ---- device arrays ----
+  opt: Option = None
+  qpos0: jax.Array = None
+  qpos_spring: jax.Array = None
+  body_pos: jax.Array = None
+  body_quat: jax.Array = None
+  body_ipos: jax.Array = None
+  body_iquat: jax.Array = None
+  body_mass: jax.Array = None
+  body_subtreemass: jax.Array = None
+  body_inertia: jax.Array = None
+  body_invweight0: jax.Array = None
+  jnt_pos: jax.Array = None
+  jnt_axis: jax.Array = None
+  jnt_range: jax.Array = None
+  jnt_stiffness: jax.Array = None
+  jnt_solref: jax.Array = None
+  jnt_solimp: jax.Array = None
+  jnt_margin: jax.Array = None
+  dof_damping: jax.Array = None
+  dof_armature: jax.Array = None
+  dof_frictionloss: jax.Array = None
+  dof_invweight0: jax.Array = None
+  dof_M0: jax.Array = None
+  geom_pos: jax.Array = None
+  geom_quat: jax.Array = None
+  geom_size: jax.Array = None
+  geom_friction: jax.Array = None
+  geom_solref: jax.Array = None
+  geom_solimp: jax.Array = None
+  geom_solmix: jax.Array = None
+  geom_margin: jax.Array = None
+  geom_gap: jax.Array = None
+  site_pos: jax.Array = None
+  site_quat: jax.Array = None
+  actuator_gainprm: jax.Array = None
+  actuator_biasprm: jax.Array = None
+  actuator_dynprm: jax.Array = None
+  actuator_ctrlrange: jax.Array = None
+  actuator_forcerange: jax.Array = None
+  actuator_actrange: jax.Array = None
+  actuator_gear: jax.Array = None
+  actuator_acc0: jax.Array = None
+
+
+@struct.dataclass
+class Contact:
+  """Fixed-size batched contact set (static count from the pair list)."""
+  dist: jax.Array          # (ncon,)
+  pos: jax.Array           # (ncon, 3)
+  frame: jax.Array         # (ncon, 3, 3) rows: normal, tangent1, tangent2
+  includemargin: jax.Array  # (ncon,)
+  friction: jax.Array      # (ncon, 5)
+  solref: jax.Array        # (ncon, 2)
+  solimp: jax.Array        # (ncon, 5)
+  geom1: np.ndarray = struct.field(pytree_node=False, default=None)
+  geom2: np.ndarray = struct.field(pytree_node=False, default=None)
+
+
+@struct.dataclass
+class Data:
+  """Dynamic state + derived quantities (all static shapes)."""
+
+  # state
+  qpos: jax.Array
+  qvel: jax.Array
+  act: jax.Array
+  ctrl: jax.Array
+  time: jax.Array
+  mocap_pos: jax.Array
+  mocap_quat: jax.Array
+  userdata: jax.Array
+  qfrc_applied: jax.Array
+  xfrc_applied: jax.Array   # (nbody, 6) world-frame wrench at body com
+
+  # kinematics
+  xpos: jax.Array = None
+  xquat: jax.Array = None
+  xmat: jax.Array = None
+  xipos: jax.Array = None
+  ximat: jax.Array = None
+  xanchor: jax.Array = None
+  xaxis: jax.Array = None
+  geom_xpos: jax.Array = None
+  geom_xmat: jax.Array = None
+  site_xpos: jax.Array = None
+  site_xmat: jax.Array = None
+
+  # com-based quantities
+  subtree_com: jax.Array = None
+  cinert: jax.Array = None   # (nbody, 10)
+  cdof: jax.Array = None     # (nv, 6)
+  cvel: jax.Array = None     # (nbody, 6)
+  cdof_dot: jax.Array = None  # (nv, 6)
+
+  # mass matrix & forces
+  qM: jax.Array = None       # (nv, nv) dense
+  qLD: jax.Array = None      # (nv, nv) cholesky factor (lower)
+  qfrc_bias: jax.Array = None
+  qfrc_passive: jax.Array = None
+  qfrc_actuator: jax.Array = None
+  actuator_force: jax.Array = None
+  actuator_length: jax.Array = None
+  actuator_velocity: jax.Array = None
+  act_dot: jax.Array = None
+  qfrc_smooth: jax.Array = None
+  qacc_smooth: jax.Array = None
+
+  # constraints
+  contact: Contact = None
+  efc_J: jax.Array = None     # (nefc, nv)
+  efc_D: jax.Array = None     # (nefc,)
+  efc_aref: jax.Array = None  # (nefc,)
+  efc_pos: jax.Array = None
+  efc_margin: jax.Array = None
+  efc_frictionloss: jax.Array = None
+  efc_force: jax.Array = None
+  qfrc_constraint: jax.Array = None
+
+  qacc: jax.Array = None
+
+
+def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
+  """Convert a compiled mujoco.MjModel into a device Model pytree."""
+  from mujoco_mpc_tpu.physics import collision as _collision
+
+  nv = mjm.nv
+  # ancestor mask via dof_parentid chains
+  anc = np.zeros((nv, nv), dtype=np.float64)
+  for i in range(nv):
+    j = i
+    while j >= 0:
+      anc[i, j] = 1.0
+      j = mjm.dof_parentid[j]
+
+  def dev(x):
+    return jnp.asarray(x, dtype=dtype)
+
+  opt = Option(
+      timestep=dev(mjm.opt.timestep),
+      gravity=dev(mjm.opt.gravity),
+      wind=dev(mjm.opt.wind),
+      density=dev(mjm.opt.density),
+      viscosity=dev(mjm.opt.viscosity),
+      impratio=dev(mjm.opt.impratio),
+      integrator=int(mjm.opt.integrator),
+      iterations=int(mjm.opt.iterations),
+      ls_iterations=int(mjm.opt.ls_iterations),
+      tolerance=float(mjm.opt.tolerance),
+      disableflags=int(mjm.opt.disableflags),
+  )
+
+  names = {}
+  try:
+    names = {
+        "body": [mjm.body(i).name for i in range(mjm.nbody)],
+        "joint": [mjm.joint(i).name for i in range(mjm.njnt)],
+        "geom": [mjm.geom(i).name for i in range(mjm.ngeom)],
+        "site": [mjm.site(i).name for i in range(mjm.nsite)],
+        "actuator": [mjm.actuator(i).name for i in range(mjm.nu)],
+        "sensor": [mjm.sensor(i).name for i in range(mjm.nsensor)],
+    }
+  except Exception:  # pragma: no cover
+    pass
+
+  m = Model(
+      nq=mjm.nq, nv=mjm.nv, nu=mjm.nu, na=mjm.na, nbody=mjm.nbody,
+      njnt=mjm.njnt, ngeom=mjm.ngeom, nsite=mjm.nsite, nmocap=mjm.nmocap,
+      nuserdata=mjm.nuserdata, nsensordata=mjm.nsensordata,
+      body_parentid=_np(mjm.body_parentid),
+      body_rootid=_np(mjm.body_rootid),
+      body_jntadr=_np(mjm.body_jntadr),
+      body_jntnum=_np(mjm.body_jntnum),
+      body_dofadr=_np(mjm.body_dofadr),
+      body_dofnum=_np(mjm.body_dofnum),
+      body_mocapid=_np(mjm.body_mocapid),
+      jnt_type=_np(mjm.jnt_type),
+      jnt_qposadr=_np(mjm.jnt_qposadr),
+      jnt_dofadr=_np(mjm.jnt_dofadr),
+      jnt_bodyid=_np(mjm.jnt_bodyid),
+      jnt_limited=_np(mjm.jnt_limited),
+      dof_bodyid=_np(mjm.dof_bodyid),
+      dof_jntid=_np(mjm.dof_jntid),
+      dof_parentid=_np(mjm.dof_parentid),
+      geom_type=_np(mjm.geom_type),
+      geom_bodyid=_np(mjm.geom_bodyid),
+      geom_condim=_np(mjm.geom_condim),
+      geom_priority=_np(mjm.geom_priority),
+      site_bodyid=_np(mjm.site_bodyid),
+      actuator_trntype=_np(mjm.actuator_trntype),
+      actuator_trnid=_np(mjm.actuator_trnid),
+      actuator_dyntype=_np(mjm.actuator_dyntype),
+      actuator_gaintype=_np(mjm.actuator_gaintype),
+      actuator_biastype=_np(mjm.actuator_biastype),
+      actuator_ctrllimited=_np(mjm.actuator_ctrllimited),
+      actuator_forcelimited=_np(mjm.actuator_forcelimited),
+      actuator_actadr=_np(mjm.actuator_actadr),
+      actuator_actnum=_np(mjm.actuator_actnum),
+      dof_ancestor_mask=anc,
+      collision_pairs=None,
+      names=names,
+      opt=opt,
+      qpos0=dev(mjm.qpos0),
+      qpos_spring=dev(mjm.qpos_spring),
+      body_pos=dev(mjm.body_pos),
+      body_quat=dev(mjm.body_quat),
+      body_ipos=dev(mjm.body_ipos),
+      body_iquat=dev(mjm.body_iquat),
+      body_mass=dev(mjm.body_mass),
+      body_subtreemass=dev(mjm.body_subtreemass),
+      body_inertia=dev(mjm.body_inertia),
+      body_invweight0=dev(mjm.body_invweight0),
+      jnt_pos=dev(mjm.jnt_pos),
+      jnt_axis=dev(mjm.jnt_axis),
+      jnt_range=dev(mjm.jnt_range),
+      jnt_stiffness=dev(mjm.jnt_stiffness),
+      jnt_solref=dev(mjm.jnt_solref),
+      jnt_solimp=dev(mjm.jnt_solimp),
+      jnt_margin=dev(mjm.jnt_margin),
+      dof_damping=dev(mjm.dof_damping),
+      dof_armature=dev(mjm.dof_armature),
+      dof_frictionloss=dev(mjm.dof_frictionloss),
+      dof_invweight0=dev(mjm.dof_invweight0),
+      dof_M0=dev(mjm.dof_M0),
+      geom_pos=dev(mjm.geom_pos),
+      geom_quat=dev(mjm.geom_quat),
+      geom_size=dev(mjm.geom_size),
+      geom_friction=dev(mjm.geom_friction),
+      geom_solref=dev(mjm.geom_solref),
+      geom_solimp=dev(mjm.geom_solimp),
+      geom_solmix=dev(mjm.geom_solmix),
+      geom_margin=dev(mjm.geom_margin),
+      geom_gap=dev(mjm.geom_gap),
+      site_pos=dev(mjm.site_pos),
+      site_quat=dev(mjm.site_quat),
+      actuator_gainprm=dev(mjm.actuator_gainprm),
+      actuator_biasprm=dev(mjm.actuator_biasprm),
+      actuator_dynprm=dev(mjm.actuator_dynprm),
+      actuator_ctrlrange=dev(mjm.actuator_ctrlrange),
+      actuator_forcerange=dev(mjm.actuator_forcerange),
+      actuator_actrange=dev(mjm.actuator_actrange),
+      actuator_gear=dev(mjm.actuator_gear),
+      actuator_acc0=dev(mjm.actuator_acc0),
+  )
+  # precompute static collision pair list (host-side)
+  pairs = _collision.make_collision_pairs(mjm)
+  m = m.replace(collision_pairs=pairs)
+  return m
+
+
+def load_model(path_or_xml: str, dtype=jnp.float32) -> tuple[Model, Any]:
+  """Load MJCF from a path or XML string; returns (Model, mujoco.MjModel)."""
+  if path_or_xml.strip().startswith("<"):
+    mjm = mujoco.MjModel.from_xml_string(path_or_xml)
+  else:
+    mjm = mujoco.MjModel.from_xml_path(path_or_xml)
+  return put_model(mjm, dtype=dtype), mjm
+
+
+def make_data(m: Model, dtype=jnp.float32) -> Data:
+  """Fresh Data at qpos0, zero velocity."""
+  return Data(
+      qpos=jnp.asarray(m.qpos0, dtype=dtype),
+      qvel=jnp.zeros((m.nv,), dtype),
+      act=jnp.zeros((m.na,), dtype),
+      ctrl=jnp.zeros((m.nu,), dtype),
+      time=jnp.zeros((), dtype),
+      mocap_pos=jnp.zeros((max(m.nmocap, 1), 3), dtype),
+      mocap_quat=jnp.tile(
+          jnp.array([1.0, 0, 0, 0], dtype), (max(m.nmocap, 1), 1)),
+      userdata=jnp.zeros((max(m.nuserdata, 1),), dtype),
+      qfrc_applied=jnp.zeros((m.nv,), dtype),
+      xfrc_applied=jnp.zeros((m.nbody, 6), dtype),
+  )

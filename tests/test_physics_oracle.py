@@ -1,0 +1,88 @@
+"""Validate the JAX physics pipeline against the C MuJoCo oracle.
+
+The strongest test pattern available (cf. reference test strategy,
+SURVEY.md §4: FD-vs-analytic checks): here we go further and check every
+pipeline stage against mj_forward / mj_step on randomized states.
+"""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from mujoco_mpc_tpu.physics import kinematics as K
+from mujoco_mpc_tpu.physics import model as M
+
+from . import models as test_models
+
+
+def _randomize(mjm, mjd, rng, vel_scale=1.0):
+  """Random but valid state."""
+  qpos = mjm.qpos0 + 0.4 * rng.standard_normal(mjm.nq)
+  # re-normalize quaternions in qpos
+  for j in range(mjm.njnt):
+    t = mjm.jnt_type[j]
+    adr = mjm.jnt_qposadr[j]
+    if t == mujoco.mjtJoint.mjJNT_FREE:
+      q = qpos[adr + 3:adr + 7]
+      qpos[adr + 3:adr + 7] = q / np.linalg.norm(q)
+    elif t == mujoco.mjtJoint.mjJNT_BALL:
+      q = qpos[adr:adr + 4]
+      qpos[adr:adr + 4] = q / np.linalg.norm(q)
+  mjd.qpos[:] = qpos
+  mjd.qvel[:] = vel_scale * rng.standard_normal(mjm.nv)
+  return mjd
+
+
+@pytest.mark.parametrize("xml", [test_models.CHAIN, test_models.FLOATER])
+def test_kinematics_matches_mujoco(xml):
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+  rng = np.random.default_rng(0)
+
+  for trial in range(3):
+    _randomize(mjm, mjd, rng)
+    mujoco.mj_forward(mjm, mjd)
+
+    d = M.make_data(m)
+    d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel))
+    d = K.kinematics(m, d)
+    d = K.com_pos(m, d)
+
+    np.testing.assert_allclose(d.xpos, mjd.xpos, atol=1e-5)
+    # quaternion sign is arbitrary; compare rotation matrices
+    np.testing.assert_allclose(
+        np.asarray(d.xmat), mjd.xmat.reshape(-1, 3, 3), atol=1e-5)
+    np.testing.assert_allclose(d.xipos, mjd.xipos, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(d.ximat), mjd.ximat.reshape(-1, 3, 3), atol=1e-5)
+    np.testing.assert_allclose(d.geom_xpos, mjd.geom_xpos, atol=1e-5)
+    np.testing.assert_allclose(d.site_xpos, mjd.site_xpos, atol=1e-5)
+    np.testing.assert_allclose(d.subtree_com, mjd.subtree_com, atol=1e-5)
+    np.testing.assert_allclose(d.cinert, mjd.cinert, atol=1e-4)
+    np.testing.assert_allclose(d.cdof, mjd.cdof, atol=1e-5)
+    if mjm.njnt:
+      np.testing.assert_allclose(d.xanchor, mjd.xanchor, atol=1e-5)
+      np.testing.assert_allclose(d.xaxis, mjd.xaxis, atol=1e-5)
+
+
+@pytest.mark.parametrize("xml", [test_models.CHAIN, test_models.FLOATER])
+def test_com_vel_matches_mujoco(xml):
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+  rng = np.random.default_rng(1)
+
+  for trial in range(3):
+    _randomize(mjm, mjd, rng)
+    mujoco.mj_forward(mjm, mjd)
+
+    d = M.make_data(m)
+    d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel))
+    d = K.kinematics(m, d)
+    d = K.com_pos(m, d)
+    d = K.com_vel(m, d)
+
+    np.testing.assert_allclose(d.cvel, mjd.cvel, atol=1e-4)
