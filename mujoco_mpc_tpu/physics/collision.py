@@ -69,6 +69,14 @@ class PairGroup:
 class CollisionPairs:
   groups: tuple  # tuple[PairGroup, ...]
   ncon: int      # total candidate contact count (static)
+  # per-candidate-contact static solver params (ncon rows, precomputed)
+  con_geom1: Optional[np.ndarray] = None
+  con_geom2: Optional[np.ndarray] = None
+  con_condim: Optional[np.ndarray] = None
+  con_friction: Optional[np.ndarray] = None   # (ncon, 5)
+  con_solref: Optional[np.ndarray] = None     # (ncon, 2)
+  con_solimp: Optional[np.ndarray] = None     # (ncon, 5)
+  con_includemargin: Optional[np.ndarray] = None
 
 
 def _mix_params(mjm, g1: int, g2: int):
@@ -125,14 +133,16 @@ def make_collision_pairs(mjm) -> CollisionPairs:
       return False
     return True
 
-  def add(g1: int, g2: int):
+  def add(g1: int, g2: int, explicit_pair: int = -1):
     t1, t2 = int(mjm.geom_type[g1]), int(mjm.geom_type[g2])
     if t1 > t2:
       g1, g2, t1, t2 = g2, g1, t2, t1
     if (t1, t2) not in SUPPORTED_PAIRS:
       return
     key = (t1, t2)
-    pairs.setdefault(key, []).append((g1, g2))
+    if (g1, g2) not in pair_meta:
+      pairs.setdefault(key, []).append((g1, g2))
+    pair_meta[(g1, g2)] = explicit_pair
 
   # dynamic pairs by contype/conaffinity
   for g1 in range(ngeom):
@@ -146,20 +156,332 @@ def make_collision_pairs(mjm) -> CollisionPairs:
         continue
       add(g1, g2)
 
-  # explicit <pair> entries
+  # explicit <pair> entries (override dynamic params)
   for i in range(mjm.npair):
-    add(int(mjm.pair_geom1[i]), int(mjm.pair_geom2[i]))
+    add(int(mjm.pair_geom1[i]), int(mjm.pair_geom2[i]), explicit_pair=i)
 
   groups = []
+  con_g1, con_g2, con_dim, con_fri = [], [], [], []
+  con_ref, con_imp, con_marg = [], [], []
   total = 0
   for (t1, t2), plist in sorted(pairs.items()):
-    plist = sorted(set(plist))
+    plist = sorted(plist)
+    npp = SUPPORTED_PAIRS[(t1, t2)]
     g = PairGroup(
         types=(t1, t2),
         geom1=np.array([p[0] for p in plist], dtype=np.int32),
         geom2=np.array([p[1] for p in plist], dtype=np.int32),
-        ncon_per_pair=SUPPORTED_PAIRS[(t1, t2)],
+        ncon_per_pair=npp,
     )
     groups.append(g)
-    total += g.count * g.ncon_per_pair
-  return CollisionPairs(groups=tuple(groups), ncon=total)
+    total += g.count * npp
+    for (g1, g2) in plist:
+      ip = pair_meta[(g1, g2)]
+      if ip >= 0:
+        solref = mjm.pair_solref[ip].copy()
+        solimp = mjm.pair_solimp[ip].copy()
+        friction = mjm.pair_friction[ip].copy()
+        condim = int(mjm.pair_dim[ip])
+        margin = float(mjm.pair_margin[ip] - mjm.pair_gap[ip])
+      else:
+        solref, solimp, fr3, condim = _mix_params(mjm, g1, g2)
+        friction = np.array([fr3[0], fr3[0], fr3[1], fr3[2], fr3[2]])
+        margin = float(
+            max(mjm.geom_margin[g1], mjm.geom_margin[g2]) -
+            max(mjm.geom_gap[g1], mjm.geom_gap[g2]))
+      for _ in range(npp):
+        con_g1.append(g1)
+        con_g2.append(g2)
+        con_dim.append(condim)
+        con_fri.append(friction)
+        con_ref.append(solref)
+        con_imp.append(solimp)
+        con_marg.append(margin)
+
+  return CollisionPairs(
+      groups=tuple(groups), ncon=total,
+      con_geom1=np.array(con_g1, dtype=np.int32).reshape(-1),
+      con_geom2=np.array(con_g2, dtype=np.int32).reshape(-1),
+      con_condim=np.array(con_dim, dtype=np.int32).reshape(-1),
+      con_friction=np.array(con_fri, dtype=np.float64).reshape(-1, 5),
+      con_solref=np.array(con_ref, dtype=np.float64).reshape(-1, 2),
+      con_solimp=np.array(con_imp, dtype=np.float64).reshape(-1, 5),
+      con_includemargin=np.array(con_marg, dtype=np.float64).reshape(-1),
+  )
+
+
+# ---------------------------------------------------------------------------
+# Narrowphase (pure JAX, vectorized over the pair axis within each group)
+# ---------------------------------------------------------------------------
+# Each function returns (dist, pos, normal) with one leading axis of
+# npair * ncon_per_pair. Normals point from geom1 to geom2 (MuJoCo
+# convention); contact pos is the midpoint between surfaces.
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import math as _mm
+
+
+def _plane_sphere(p1, m1, s1, p2, m2, s2):
+  n = m1[..., :, 2]
+  r = s2[..., 0]
+  h = jnp.sum(n * (p2 - p1), axis=-1)
+  dist = h - r
+  pos = p2 - n * (r + 0.5 * dist)[..., None]
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _plane_capsule(p1, m1, s1, p2, m2, s2):
+  n = m1[..., :, 2]
+  r, hl = s2[..., 0], s2[..., 1]
+  axis = m2[..., :, 2]
+  ends = jnp.stack([p2 + axis * hl[..., None], p2 - axis * hl[..., None]],
+                   axis=-2)  # (..., 2, 3)
+  h = jnp.sum(n[..., None, :] * (ends - p1[..., None, :]), axis=-1)
+  dist = h - r[..., None]
+  pos = ends - n[..., None, :] * (r[..., None] + 0.5 * dist)[..., None]
+  nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
+  return dist, pos, nrm
+
+
+def _plane_ellipsoid(p1, m1, s1, p2, m2, s2):
+  n = m1[..., :, 2]
+  # support point along -n: x = -E n_loc / |E n_loc| elementwise semi-axes
+  n_loc = jnp.einsum("...ij,...i->...j", m2, n)
+  e = s2[..., :3]
+  v = -(e * e) * n_loc
+  denom = jnp.sqrt(jnp.maximum(jnp.sum(n_loc * v * -1.0, axis=-1), 1e-12))
+  sp_loc = v / denom[..., None] * -1.0
+  sp_loc = -e * e * n_loc / jnp.sqrt(
+      jnp.maximum(jnp.sum(e * e * n_loc * n_loc, axis=-1,
+                          keepdims=True), 1e-12))
+  sp = p2 + jnp.einsum("...ij,...j->...i", m2, sp_loc)
+  h = jnp.sum(n * (sp - p1), axis=-1)
+  pos = sp - 0.5 * h[..., None] * n
+  return h[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _plane_cylinder(p1, m1, s1, p2, m2, s2):
+  # approximate with 3 rim points on the deeper end cap + center point
+  n = m1[..., :, 2]
+  r, hl = s2[..., 0], s2[..., 1]
+  axis = m2[..., :, 2]
+  # choose end cap facing the plane
+  sign = -jnp.sign(jnp.sum(n * axis, axis=-1))
+  cap = p2 + axis * (sign * hl)[..., None]
+  # radial direction in cap plane, most downhill
+  t = n - axis * jnp.sum(n * axis, axis=-1, keepdims=True)
+  tn = jnp.linalg.norm(t, axis=-1, keepdims=True)
+  t = jnp.where(tn > 1e-8, t / jnp.maximum(tn, 1e-8), m2[..., :, 0])
+  b = jnp.cross(axis, t)
+  pts = jnp.stack([
+      cap - t * r[..., None],
+      cap + (0.5 * t * r[..., None] + 0.866 * b * r[..., None]),
+      cap + (0.5 * t * r[..., None] - 0.866 * b * r[..., None]),
+  ], axis=-2)
+  h = jnp.sum(n[..., None, :] * (pts - p1[..., None, :]), axis=-1)
+  pos = pts - 0.5 * h[..., None] * n[..., None, :]
+  nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
+  return h, pos, nrm
+
+
+def _plane_box(p1, m1, s1, p2, m2, s2):
+  n = m1[..., :, 2]
+  # 8 corners in world frame
+  corners_loc = jnp.array(
+      [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+      dtype=p1.dtype)  # (8, 3)
+  c = corners_loc * s2[..., None, :3]
+  cw = p2[..., None, :] + jnp.einsum("...ij,...kj->...ki", m2, c)  # (...,8,3)
+  h = jnp.sum(n[..., None, :] * (cw - p1[..., None, :]), axis=-1)  # (...,8)
+  # 4 deepest corners
+  _, idx = jax.lax.top_k(-h, 4)
+  hh = jnp.take_along_axis(h, idx, axis=-1)
+  pts = jnp.take_along_axis(cw, idx[..., None], axis=-2)
+  pos = pts - 0.5 * hh[..., None] * n[..., None, :]
+  nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
+  return hh, pos, nrm
+
+
+def _sphere_sphere_raw(c1, r1, c2, r2, fallback_n):
+  dvec = c2 - c1
+  dn = jnp.linalg.norm(dvec, axis=-1)
+  n = jnp.where(dn[..., None] > 1e-9, dvec / jnp.maximum(dn, 1e-9)[..., None],
+                fallback_n)
+  dist = dn - r1 - r2
+  pos = c1 + n * (r1 + 0.5 * dist)[..., None]
+  return dist, pos, n
+
+
+def _sphere_sphere(p1, m1, s1, p2, m2, s2):
+  fb = jnp.zeros_like(p1).at[..., 2].set(1.0)
+  d, pos, n = _sphere_sphere_raw(p1, s1[..., 0], p2, s2[..., 0], fb)
+  return d[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _sphere_capsule(p1, m1, s1, p2, m2, s2):
+  r2, hl = s2[..., 0], s2[..., 1]
+  axis = m2[..., :, 2]
+  a = p2 - axis * hl[..., None]
+  b = p2 + axis * hl[..., None]
+  cp = _mm.closest_segment_point(a, b, p1)
+  fb = jnp.zeros_like(p1).at[..., 2].set(1.0)
+  d, pos, n = _sphere_sphere_raw(p1, s1[..., 0], cp, r2, fb)
+  return d[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _capsule_capsule(p1, m1, s1, p2, m2, s2):
+  r1, h1 = s1[..., 0], s1[..., 1]
+  r2, h2 = s2[..., 0], s2[..., 1]
+  ax1, ax2 = m1[..., :, 2], m2[..., :, 2]
+  a0 = p1 - ax1 * h1[..., None]
+  a1 = p1 + ax1 * h1[..., None]
+  b0 = p2 - ax2 * h2[..., None]
+  b1 = p2 + ax2 * h2[..., None]
+  pa, pb = _mm.closest_segment_segment(a0, a1, b0, b1)
+  fb = jnp.zeros_like(p1).at[..., 2].set(1.0)
+  d, pos, n = _sphere_sphere_raw(pa, r1, pb, r2, fb)
+  return d[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _sphere_box_raw(c, r, pb, mb, sb):
+  """Sphere (center c radius r) vs box (pose pb/mb, half sizes sb)."""
+  loc = jnp.einsum("...ij,...i->...j", mb, c - pb)
+  clamped = jnp.clip(loc, -sb[..., :3], sb[..., :3])
+  # outside case
+  dvec = loc - clamped
+  dn = jnp.linalg.norm(dvec, axis=-1)
+  outside = dn > 1e-9
+  n_out = dvec / jnp.maximum(dn, 1e-9)[..., None]
+  # inside case: push toward nearest face
+  face_d = sb[..., :3] - jnp.abs(loc)
+  k = jnp.argmin(face_d, axis=-1)
+  sgn = jnp.sign(jnp.take_along_axis(loc, k[..., None], axis=-1))
+  n_in = (jax.nn.one_hot(k, 3, dtype=c.dtype) * jnp.where(sgn == 0, 1.0, sgn))
+  depth_in = -jnp.take_along_axis(face_d, k[..., None], axis=-1)[..., 0]
+  cp_in = jnp.where(
+      jax.nn.one_hot(k, 3, dtype=c.dtype) > 0.5,
+      sgn * sb[..., :3], loc)
+  dist_loc = jnp.where(outside, dn, depth_in)
+  n_loc = jnp.where(outside[..., None], n_out, n_in)
+  cp_loc = jnp.where(outside[..., None], clamped, cp_in)
+  # to world; normal points from box surface toward sphere center
+  n_w = jnp.einsum("...ij,...j->...i", mb, n_loc)
+  cp_w = pb + jnp.einsum("...ij,...j->...i", mb, cp_loc)
+  dist = dist_loc - r
+  pos = cp_w + 0.5 * dist[..., None] * n_w
+  return dist, pos, n_w
+
+
+def _sphere_box(p1, m1, s1, p2, m2, s2):
+  d, pos, n = _sphere_box_raw(p1, s1[..., 0], p2, m2, s2)
+  # normal must point from geom1 (sphere) to geom2 (box)
+  return d[..., None], pos[..., None, :], -n[..., None, :]
+
+
+def _capsule_box(p1, m1, s1, p2, m2, s2):
+  r, hl = s1[..., 0], s1[..., 1]
+  axis = m1[..., :, 2]
+  ends = jnp.stack([p1 - axis * hl[..., None], p1 + axis * hl[..., None]],
+                   axis=-2)  # (..., 2, 3)
+  d, pos, n = _sphere_box_raw(
+      ends, r[..., None],
+      pb=p2[..., None, :], mb=m2[..., None, :, :], sb=s2[..., None, :])
+  return d, pos, -n
+
+
+def _capsule_ellipsoid(p1, m1, s1, p2, m2, s2):
+  # approximate ellipsoid as sphere of mean radius for capsule contact
+  r2 = jnp.mean(s2[..., :3], axis=-1)
+  r1, hl = s1[..., 0], s1[..., 1]
+  axis = m1[..., :, 2]
+  a = p1 - axis * hl[..., None]
+  b = p1 + axis * hl[..., None]
+  cp = _mm.closest_segment_point(a, b, p2)
+  fb = jnp.zeros_like(p1).at[..., 2].set(1.0)
+  d, pos, n = _sphere_sphere_raw(cp, r1, p2, r2, fb)
+  return d[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _box_box(p1, m1, s1, p2, m2, s2):
+  # Vertex-in-box tests both ways: 8 candidates (4 deepest per direction).
+  corners_loc = jnp.array(
+      [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+      dtype=p1.dtype)
+
+  def verts_vs_box(pa, ma, sa, pb, mb, sb, flip):
+    c = corners_loc * sa[..., None, :3]
+    cw = pa[..., None, :] + jnp.einsum("...ij,...kj->...ki", ma, c)
+    d, pos, n = _sphere_box_raw(
+        cw, jnp.zeros_like(sa[..., 0:1]),
+        pb=pb[..., None, :], mb=mb[..., None, :, :], sb=sb[..., None, :])
+    # keep 4 deepest
+    _, idx = jax.lax.top_k(-d, 4)
+    d4 = jnp.take_along_axis(d, idx, axis=-1)
+    pos4 = jnp.take_along_axis(pos, idx[..., None], axis=-2)
+    n4 = jnp.take_along_axis(n, idx[..., None], axis=-2)
+    return d4, pos4, (n4 if flip else -n4)
+
+  d_a, pos_a, n_a = verts_vs_box(p1, m1, s1, p2, m2, s2, flip=False)
+  d_b, pos_b, n_b = verts_vs_box(p2, m2, s2, p1, m1, s1, flip=True)
+  return (jnp.concatenate([d_a, d_b], axis=-1),
+          jnp.concatenate([pos_a, pos_b], axis=-2),
+          jnp.concatenate([n_a, n_b], axis=-2))
+
+
+_NARROWPHASE = {
+    (PLANE, SPHERE): _plane_sphere,
+    (PLANE, CAPSULE): _plane_capsule,
+    (PLANE, ELLIPSOID): _plane_ellipsoid,
+    (PLANE, CYLINDER): _plane_cylinder,
+    (PLANE, BOX): _plane_box,
+    (SPHERE, SPHERE): _sphere_sphere,
+    (SPHERE, CAPSULE): _sphere_capsule,
+    (SPHERE, ELLIPSOID): _sphere_capsule,  # ellipsoid ~ mean-radius sphere
+    (SPHERE, CYLINDER): _sphere_capsule,   # cylinder ~ capsule
+    (SPHERE, BOX): _sphere_box,
+    (CAPSULE, CAPSULE): _capsule_capsule,
+    (CAPSULE, ELLIPSOID): _capsule_ellipsoid,
+    (CAPSULE, BOX): _capsule_box,
+    (BOX, BOX): _box_box,
+}
+
+
+def collide(m, d):
+  """Evaluate all static candidate pairs; returns per-contact arrays.
+
+  Output order matches the static con_* arrays in CollisionPairs.
+  """
+  cp = m.collision_pairs
+  dists, poss, nrms = [], [], []
+  for g in cp.groups:
+    p1 = d.geom_xpos[g.geom1]
+    m1 = d.geom_xmat[g.geom1]
+    s1 = m.geom_size[g.geom1]
+    p2 = d.geom_xpos[g.geom2]
+    m2 = d.geom_xmat[g.geom2]
+    s2 = m.geom_size[g.geom2]
+    fn = _NARROWPHASE[g.types]
+    dist, pos, n = fn(p1, m1, s1, p2, m2, s2)
+    dists.append(dist.reshape(-1))
+    poss.append(pos.reshape(-1, 3))
+    nrms.append(n.reshape(-1, 3))
+  if not dists:
+    z = jnp.zeros((0,), d.qpos.dtype)
+    return z, z.reshape(0, 3), z.reshape(0, 3)
+  return (jnp.concatenate(dists), jnp.concatenate(poss),
+          jnp.concatenate(nrms))
+
+
+def make_contact_frame(n):
+  """Build full contact frames (normal + 2 tangents) from normals."""
+  # pick a reference axis least aligned with n
+  ref = jnp.where(
+      (jnp.abs(n[..., 0:1]) < 0.5), 
+      jnp.zeros_like(n).at[..., 0].set(1.0),
+      jnp.zeros_like(n).at[..., 1].set(1.0))
+  t1 = jnp.cross(n, ref)
+  t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+  t2 = jnp.cross(n, t1)
+  return jnp.stack([n, t1, t2], axis=-2)

@@ -1,0 +1,289 @@
+"""Soft-constraint assembly and solver (contacts + joint limits).
+
+TPU-first formulation: a FIXED-SIZE constraint system. Every candidate
+contact from the static pair list and every joint-limit side always has a
+row; rows whose gating distance is non-negative get zero stiffness (D=0), so
+inactive rows are no-ops. This keeps all shapes static under jit/vmap.
+
+The solver minimizes the primal objective (MuJoCo "Computation" chapter):
+
+    0.5 (a - a0)^T M (a - a0) + sum_i 0.5 D_i [ (Ja - aref)_i^- ]^2
+
+with one-sided (inequality) quadratic costs, via a damped Newton iteration
+with exact 1-D line search — a handful of dense (nv x nv) Cholesky solves,
+which batch beautifully over thousands of vmapped rollouts on the MXU.
+
+Friction uses pyramidal cones: each contact with condim c contributes
+2*(c-1) rows (or 1 normal-only row when c == 1), matching MuJoCo's
+pyramidal default.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mpc_tpu.physics import collision as coll
+from mujoco_mpc_tpu.physics import smooth as S
+from mujoco_mpc_tpu.physics.model import HINGE, SLIDE, Contact, Data, Model
+
+_MINVAL = 1e-15
+_MINIMP = 0.0001
+_MAXIMP = 0.9999
+
+
+def _impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
+  """Constraint impedance d(r) (mju_makeImpedance semantics)."""
+  dmin, dmax, width, mid, power = (solimp[..., 0], solimp[..., 1],
+                                   solimp[..., 2], solimp[..., 3],
+                                   solimp[..., 4])
+  x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, _MINVAL), 0.0, 1.0)
+  mid = jnp.clip(mid, _MINIMP, _MAXIMP)
+  power = jnp.maximum(power, 1.0)
+  a = 1.0 / jnp.power(mid, power - 1.0)
+  b = 1.0 / jnp.power(1.0 - mid, power - 1.0)
+  y = jnp.where(x <= mid,
+                a * jnp.power(x, power),
+                1.0 - b * jnp.power(1.0 - x, power))
+  d = dmin + y * (dmax - dmin)
+  return jnp.clip(d, _MINIMP, _MAXIMP)
+
+
+def _kbi(solref: jax.Array, solimp: jax.Array, pos: jax.Array,
+         jv: jax.Array) -> tuple[jax.Array, jax.Array]:
+  """Reference acceleration aref and impedance d for constraint rows."""
+  imp = _impedance(solimp, pos)
+  dmax = jnp.clip(solimp[..., 1], _MINIMP, _MAXIMP)
+  timeconst, dampratio = solref[..., 0], solref[..., 1]
+  # standard (positive solref): spring-damper in units of constraint pos
+  b_std = 2.0 / jnp.maximum(dmax * timeconst, _MINVAL)
+  k_std = 1.0 / jnp.maximum(
+      dmax * dmax * timeconst * timeconst * dampratio * dampratio, _MINVAL)
+  # direct (non-positive solref): (-stiffness, -damping)
+  b_dir = -solref[..., 1] / jnp.maximum(dmax, _MINVAL)
+  k_dir = -solref[..., 0] / jnp.maximum(dmax * dmax, _MINVAL)
+  use_std = (timeconst > 0) & (dampratio > 0)
+  b = jnp.where(use_std, b_std, b_dir)
+  k = jnp.where(use_std, k_std, k_dir)
+  aref = -b * jv - k * imp * pos
+  return aref, imp
+
+
+def _limit_rows(m: Model, d: Data):
+  """Joint-limit rows for limited hinge/slide joints: 2 per joint."""
+  dtype = d.qpos.dtype
+  js = [
+      j for j in range(m.njnt)
+      if m.jnt_limited[j] and int(m.jnt_type[j]) in (HINGE, SLIDE)
+  ]
+  if not js:
+    return None
+  rows_j, rows_pos, rows_ref, rows_imp, rows_diag = [], [], [], [], []
+  for j in js:
+    qadr = int(m.jnt_qposadr[j])
+    dadr = int(m.jnt_dofadr[j])
+    for side in (0, 1):
+      ej = jnp.zeros(m.nv, dtype)
+      if side == 0:  # lower: dist = qpos - range0, J = +e
+        dist = d.qpos[qadr] - m.jnt_range[j, 0]
+        ej = ej.at[dadr].set(1.0)
+      else:  # upper: dist = range1 - qpos, J = -e
+        dist = m.jnt_range[j, 1] - d.qpos[qadr]
+        ej = ej.at[dadr].set(-1.0)
+      rows_j.append(ej)
+      rows_pos.append(dist - m.jnt_margin[j])
+      rows_ref.append(m.jnt_solref[j])
+      rows_imp.append(m.jnt_solimp[j])
+      rows_diag.append(m.dof_invweight0[dadr])
+  return (jnp.stack(rows_j), jnp.stack(rows_pos), jnp.stack(rows_ref),
+          jnp.stack(rows_imp), jnp.stack(rows_diag))
+
+
+def _point_jac(m: Model, d: Data, point: jax.Array,
+               bodyid: np.ndarray) -> jax.Array:
+  """Translational Jacobian (n, 3, nv) of world points on given bodies."""
+  dtype = d.qpos.dtype
+  ref = d.subtree_com[m.body_rootid[bodyid]]  # (n, 3)
+  # v_p[i] = cdof_lin[i] + cdof_ang[i] x (p - c)
+  offset = point[:, None, :] - ref[:, None, :]  # (n, 1, 3)
+  ang = d.cdof[None, :, :3]  # (1, nv, 3)
+  lin = d.cdof[None, :, 3:]
+  jac = lin + jnp.cross(ang, offset)  # (n, nv, 3)
+  mask = jnp.asarray(m.body_dof_mask, dtype)[bodyid][:, :, None]  # (n, nv, 1)
+  return jnp.swapaxes(jac * mask, 1, 2)  # (n, 3, nv)
+
+
+def _contact_rows(m: Model, d: Data):
+  """Pyramidal contact rows from the static candidate-contact set."""
+  cp = m.collision_pairs
+  if cp is None or cp.ncon == 0:
+    return None, None
+  dtype = d.qpos.dtype
+  dist, pos, n = coll.collide(m, d)
+  frame = coll.make_contact_frame(n)  # (ncon, 3, 3)
+
+  incmargin = jnp.asarray(cp.con_includemargin, dtype)
+  gap = dist - incmargin  # gating distance; row active iff < 0
+
+  contact = Contact(
+      dist=dist, pos=pos, frame=frame, includemargin=incmargin,
+      friction=jnp.asarray(cp.con_friction, dtype),
+      solref=jnp.asarray(cp.con_solref, dtype),
+      solimp=jnp.asarray(cp.con_solimp, dtype),
+      geom1=cp.con_geom1, geom2=cp.con_geom2)
+
+  b1 = m.geom_bodyid[cp.con_geom1]
+  b2 = m.geom_bodyid[cp.con_geom2]
+  jac2 = _point_jac(m, d, pos, b2)  # (ncon, 3, nv)
+  jac1 = _point_jac(m, d, pos, b1)
+  jrel = jac2 - jac1  # (ncon, 3, nv) world-frame relative velocity jacobian
+  # rotate into contact frame: rows normal/t1/t2
+  jc = jnp.einsum("cab,cbv->cav", frame, jrel)  # (ncon, 3, nv)
+
+  # pyramidal expansion (static per-row metadata)
+  rows_j, rows_pos, rows_ref, rows_imp, rows_gate, rows_diag = \
+      [], [], [], [], [], []
+  # exact diagonal approximation via invweight0 of the two bodies
+  invw = (m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])  # (ncon,)
+  fri = cp.con_friction
+  for c in range(cp.ncon):
+    condim = int(cp.con_condim[c])
+    if condim == 1:
+      rows_j.append(jc[c, 0])
+      rows_pos.append(gap[c])
+      rows_ref.append(contact.solref[c])
+      rows_imp.append(contact.solimp[c])
+      rows_gate.append(gap[c])
+      rows_diag.append(invw[c])
+    else:
+      nfd = min(condim - 1, 2)  # torsional/rolling handled later
+      for k in range(nfd):
+        mu = float(fri[c][k])
+        for sgn in (1.0, -1.0):
+          rows_j.append(jc[c, 0] + sgn * mu * jc[c, 1 + k])
+          rows_pos.append(gap[c])
+          rows_ref.append(contact.solref[c])
+          rows_imp.append(contact.solimp[c])
+          rows_gate.append(gap[c])
+          rows_diag.append(invw[c] * 2.0 * mu * mu *
+                           (1.0 + mu * mu))  # pyramid scaling (approx)
+  out = (jnp.stack(rows_j), jnp.stack(rows_pos), jnp.stack(rows_ref),
+         jnp.stack(rows_imp), jnp.stack(rows_gate),
+         jnp.stack([jnp.asarray(x, dtype) for x in rows_diag]))
+  return contact, out
+
+
+def make_constraint(m: Model, d: Data) -> Data:
+  """Assemble fixed-size efc_{J, D, aref, pos} (positions stage)."""
+  dtype = d.qpos.dtype
+  lim = _limit_rows(m, d)
+  contact, con = _contact_rows(m, d)
+
+  js, poss, refs, imps, gates, diags = [], [], [], [], [], []
+  if lim is not None:
+    lj, lp, lr, li, ld = lim
+    js.append(lj)
+    poss.append(lp)
+    refs.append(lr)
+    imps.append(li)
+    gates.append(lp)  # limit active iff pos < 0
+    diags.append(ld)
+  if con is not None:
+    cj, cpos, cr, ci, cg, cd = con
+    js.append(cj)
+    poss.append(cpos)
+    refs.append(cr)
+    imps.append(ci)
+    gates.append(cg)
+    diags.append(cd)
+
+  if not js:
+    z = jnp.zeros((0,), dtype)
+    z2 = jnp.zeros((0, 2), dtype)
+    z5 = jnp.zeros((0, 5), dtype)
+    return d.replace(
+        contact=contact, efc_J=jnp.zeros((0, m.nv), dtype), efc_pos=z,
+        efc_solref=z2, efc_solimp=z5, efc_diag=z, efc_gate=z, efc_D=z,
+        efc_aref=z)
+
+  return d.replace(
+      contact=contact,
+      efc_J=jnp.concatenate(js),
+      efc_pos=jnp.concatenate(poss),
+      efc_solref=jnp.concatenate(refs),
+      efc_solimp=jnp.concatenate(imps),
+      efc_gate=jnp.concatenate(gates),
+      efc_diag=jnp.concatenate(diags))
+
+
+def reference_constraint(m: Model, d: Data) -> Data:
+  """Velocity-stage: aref and D for all rows (mj_fwdVelocity part)."""
+  dtype = d.qpos.dtype
+  if d.efc_J.shape[0] == 0:
+    return d
+  jv = d.efc_J @ d.qvel
+  aref, imp = _kbi(d.efc_solref, d.efc_solimp, d.efc_pos, jv)
+  r = jnp.maximum((1.0 - imp) / jnp.maximum(imp, _MINVAL) *
+                  jnp.maximum(d.efc_diag, _MINVAL), _MINVAL)
+  gate = (d.efc_gate < 0).astype(dtype)
+  return d.replace(efc_D=gate / r, efc_aref=aref)
+
+
+def solve(m: Model, d: Data,
+          iterations: int = 10, ls_iterations: int = 8) -> Data:
+  """Primal Newton solve for constrained qacc."""
+  dtype = d.qpos.dtype
+  nv = m.nv
+  nefc = d.efc_J.shape[0] if d.efc_J is not None else 0
+  if nefc == 0:
+    return d.replace(
+        qacc=d.qacc_smooth,
+        qfrc_constraint=jnp.zeros(nv, dtype),
+        efc_force=jnp.zeros((0,), dtype))
+
+  mass = d.qM
+  j = d.efc_J
+  dvec = d.efc_D
+  aref = d.efc_aref
+  a0 = d.qacc_smooth
+
+  def cost_terms(a):
+    jar = j @ a - aref
+    active = (jar < 0).astype(dtype) * dvec
+    return jar, active
+
+  def newton_step(a):
+    jar, active = cost_terms(a)
+    grad = mass @ (a - a0) + j.T @ (active * jar)
+    h = mass + (j.T * active) @ j
+    # damped Cholesky (tiny jitter for robustness in f32)
+    h = h + 1e-8 * jnp.eye(nv, dtype=dtype)
+    chol = jnp.linalg.cholesky(h)
+    y = jax.scipy.linalg.solve_triangular(chol, grad, lower=True)
+    p = -jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+
+    # exact-ish line search: 1-D Newton on piecewise-quadratic phi(t)
+    jp = j @ p
+    pmp = p @ (mass @ p)
+    pma = p @ (mass @ (a - a0))
+
+    def ls_body(_, t):
+      jart = jar + t * jp
+      act = (jart < 0).astype(dtype) * dvec
+      dphi = pma + t * pmp + jnp.sum(act * jart * jp)
+      ddphi = pmp + jnp.sum(act * jp * jp)
+      return t - dphi / jnp.maximum(ddphi, _MINVAL)
+
+    t = jax.lax.fori_loop(0, ls_iterations, ls_body, jnp.ones((), dtype))
+    return a + t * p
+
+  a = jax.lax.fori_loop(0, iterations, lambda _, a: newton_step(a), a0)
+
+  jar, active = cost_terms(a)
+  efc_force = -active * jar
+  qfrc_constraint = j.T @ efc_force
+  # recompute final qacc consistently: M qacc = qfrc_smooth + qfrc_constraint
+  qacc = S.solve_m(m, d, d.qfrc_smooth + qfrc_constraint)
+  return d.replace(
+      qacc=qacc, qfrc_constraint=qfrc_constraint, efc_force=efc_force)

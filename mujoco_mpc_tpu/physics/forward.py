@@ -1,0 +1,147 @@
+"""Forward dynamics pipeline and integrators (mj_forward / mj_step semantics).
+
+Pure functions `forward(m, d) -> d` and `step(m, d) -> d`; everything is
+jit/vmap/scan-friendly with static shapes. Constraint (contact/limit) forces
+are produced by physics.constraint + physics.solver.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import constraint as C
+from mujoco_mpc_tpu.physics import kinematics as K
+from mujoco_mpc_tpu.physics import smooth as S
+from mujoco_mpc_tpu.physics.model import (BALL, EULER, FREE, HINGE, RK4,
+                                          SLIDE, Data, Model)
+from mujoco_mpc_tpu.physics import math as mm
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+  d = K.kinematics(m, d)
+  d = K.com_pos(m, d)
+  d = S.crb(m, d)
+  d = S.factor_m(m, d)
+  d = C.make_constraint(m, d)
+  return d
+
+
+def fwd_velocity(m: Model, d: Data) -> Data:
+  d = K.com_vel(m, d)
+  d = S.rne(m, d)
+  d = S.passive(m, d)
+  d = C.reference_constraint(m, d)
+  return d
+
+
+def fwd_actuation(m: Model, d: Data) -> Data:
+  return S.actuation(m, d)
+
+
+def fwd_acceleration(m: Model, d: Data) -> Data:
+  """Smooth acceleration: qacc_smooth = M^-1 qfrc_smooth."""
+  # applied body wrenches (xfrc_applied: (nbody, 6) torque-last per MuJoCo
+  # convention is (force[3], torque[3]); we store (force, torque))
+  xfrc_q = S.apply_ft(
+      m, d, d.xfrc_applied[:, :3], d.xfrc_applied[:, 3:], d.xipos)
+  qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator +
+                 d.qfrc_applied + xfrc_q)
+  qacc_smooth = S.solve_m(m, d, qfrc_smooth)
+  return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+def forward(m: Model, d: Data) -> Data:
+  d = fwd_position(m, d)
+  d = fwd_velocity(m, d)
+  d = fwd_actuation(m, d)
+  d = fwd_acceleration(m, d)
+  d = C.solve(m, d)
+  return d
+
+
+def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
+                   dt) -> jax.Array:
+  """mj_integratePos: joint-type-aware position integration."""
+  out = qpos
+  for j in range(m.njnt):
+    jtype = int(m.jnt_type[j])
+    qadr = int(m.jnt_qposadr[j])
+    dadr = int(m.jnt_dofadr[j])
+    if jtype in (HINGE, SLIDE):
+      out = out.at[qadr].add(dt * qvel[dadr])
+    elif jtype == BALL:
+      q = mm.quat_integrate(
+          mm.normalize_quat(qpos[qadr:qadr + 4]), qvel[dadr:dadr + 3], dt)
+      out = out.at[qadr:qadr + 4].set(q)
+    elif jtype == FREE:
+      out = out.at[qadr:qadr + 3].add(dt * qvel[dadr:dadr + 3])
+      q = mm.quat_integrate(
+          mm.normalize_quat(qpos[qadr + 3:qadr + 7]), qvel[dadr + 3:dadr + 6],
+          dt)
+      out = out.at[qadr + 3:qadr + 7].set(q)
+  return out
+
+
+def _advance(m: Model, d: Data, qacc: jax.Array, act_dot: jax.Array,
+             qvel_next=None) -> Data:
+  dt = m.opt.timestep
+  act = d.act + dt * act_dot
+  if m.na:
+    limited = jnp.asarray(m.actuator_actnum > 0, bool)
+    # clamp activations to actrange where limited (host-side static check)
+    # (skip per-actuator actlimited detail for now: clamp only if finite)
+  qvel = d.qvel + dt * qacc if qvel_next is None else qvel_next
+  qpos = _integrate_pos(m, d.qpos, qvel, dt)
+  return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + dt)
+
+
+def euler(m: Model, d: Data) -> Data:
+  """Semi-implicit Euler with implicit joint damping (mj_Euler)."""
+  import numpy as np
+  if np.any(np.asarray(jax.device_get(m.dof_damping)) > 0):
+    # (M + h*diag(damping)) qacc' = qfrc_smooth + qfrc_constraint
+    mh = d.qM + m.opt.timestep * jnp.diag(m.dof_damping)
+    rhs = d.qfrc_smooth + d.qfrc_constraint
+    chol = jnp.linalg.cholesky(mh)
+    y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+    qacc = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+  else:
+    qacc = d.qacc
+  return _advance(m, d, qacc, d.act_dot)
+
+
+def rk4(m: Model, d: Data) -> Data:
+  """4th-order Runge-Kutta (mj_RungeKutta)."""
+  dt = m.opt.timestep
+  a = jnp.array([0.5, 0.5, 1.0], dtype=d.qpos.dtype)
+  b = jnp.array([1 / 6, 1 / 3, 1 / 3, 1 / 6], dtype=d.qpos.dtype)
+
+  d0 = d
+  qpos0, qvel0, act0 = d.qpos, d.qvel, d.act
+  # stage derivatives: (qvel, qacc, act_dot)
+  ks = [(d.qvel, d.qacc, d.act_dot)]
+  for i in range(3):
+    qv, qa, ad = ks[-1]
+    qpos_i = _integrate_pos(m, qpos0, qv, a[i] * dt)
+    qvel_i = qvel0 + a[i] * dt * qa
+    act_i = act0 + a[i] * dt * ad
+    di = d0.replace(qpos=qpos_i, qvel=qvel_i, act=act_i)
+    di = forward(m, di)
+    ks.append((di.qvel, di.qacc, di.act_dot))
+
+  qvel_avg = sum(b[i] * ks[i][0] for i in range(4))
+  qacc_avg = sum(b[i] * ks[i][1] for i in range(4))
+  act_avg = sum(b[i] * ks[i][2] for i in range(4))
+  qpos = _integrate_pos(m, qpos0, qvel_avg, dt)
+  qvel = qvel0 + dt * qacc_avg
+  act = act0 + dt * act_avg
+  return d0.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + dt)
+
+
+def step(m: Model, d: Data) -> Data:
+  """mj_step: forward dynamics + integration."""
+  d = forward(m, d)
+  if m.opt.integrator == RK4:
+    return rk4(m, d)
+  return euler(m, d)

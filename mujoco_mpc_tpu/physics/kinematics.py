@@ -161,24 +161,35 @@ def com_vel(m: Model, d: Data) -> Data:
     pid = int(m.body_parentid[i])
     v = cvel[pid]
     dofadr = int(m.body_dofadr[i])
-    for k in range(int(m.body_dofnum[i])):
+    # mj_comVel convention (verified numerically against the oracle):
+    #  * slide/hinge dofs: cdof_dot = v_before_this_dof x cdof
+    #  * ball dofs: all three use the velocity BEFORE the ball joint
+    #  * free joints: translations have cdof_dot = 0; the three rotational
+    #    dofs use the velocity including ONLY the translational dofs
+    k = 0
+    ndof = int(m.body_dofnum[i])
+    while k < ndof:
       n = dofadr + k
       jtype = int(m.jnt_type[int(m.dof_jntid[n])])
-      # cdof_dot: velocity of the frame carrying the dof axis.
-      # Matches mj_comVel: for free-joint rotational dofs and ball joints the
-      # axis rotates with the full body angular velocity (computed after
-      # adding the translational part); translation dofs have zero cdof_dot.
-      if jtype == FREE and k < 3:
-        pass  # world-aligned translation: cdof_dot = 0
-      elif (jtype == FREE and k >= 3) or jtype == BALL:
-        # use velocity including preceding dofs of this body
-        vb = v
-        for kk in range(k):
-          vb = vb + d.cdof[dofadr + kk] * d.qvel[dofadr + kk]
-        cdof_dot[n] = mm.motion_cross(vb, d.cdof[n])
+      if jtype == FREE:
+        # translations: zero cdof_dot
+        for kk in range(3):
+          v = v + d.cdof[dofadr + kk] * d.qvel[dofadr + kk]
+        vpre = v
+        for kk in range(3, 6):
+          cdof_dot[dofadr + kk] = mm.motion_cross(vpre, d.cdof[dofadr + kk])
+          v = v + d.cdof[dofadr + kk] * d.qvel[dofadr + kk]
+        k += 6
+      elif jtype == BALL:
+        vpre = v
+        for kk in range(3):
+          cdof_dot[n + kk] = mm.motion_cross(vpre, d.cdof[n + kk])
+          v = v + d.cdof[n + kk] * d.qvel[n + kk]
+        k += 3
       else:
         cdof_dot[n] = mm.motion_cross(v, d.cdof[n])
-      v = v + d.cdof[n] * d.qvel[n]
+        v = v + d.cdof[n] * d.qvel[n]
+        k += 1
     cvel[i] = v
 
   cvel = jnp.stack(cvel)

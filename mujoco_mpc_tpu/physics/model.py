@@ -144,6 +144,8 @@ class Model:
   actuator_actnum: np.ndarray = struct.field(pytree_node=False)
   # ancestor mask: anc[i, j] = 1 if dof j is on the path root->dof i (j<=i)
   dof_ancestor_mask: np.ndarray = struct.field(pytree_node=False)
+  # body_dof_mask[b, i] = 1 if dof i is on the kinematic path root->body b
+  body_dof_mask: np.ndarray = struct.field(pytree_node=False)
   # precomputed static collision pairs, grouped by type pair (see collision.py)
   collision_pairs: Any = struct.field(pytree_node=False, default=None)
   # name maps (host-side convenience)
@@ -257,14 +259,16 @@ class Data:
   qfrc_smooth: jax.Array = None
   qacc_smooth: jax.Array = None
 
-  # constraints
+  # constraints (fixed-size rows; inactive rows have efc_D == 0)
   contact: Contact = None
-  efc_J: jax.Array = None     # (nefc, nv)
-  efc_D: jax.Array = None     # (nefc,)
-  efc_aref: jax.Array = None  # (nefc,)
-  efc_pos: jax.Array = None
-  efc_margin: jax.Array = None
-  efc_frictionloss: jax.Array = None
+  efc_J: jax.Array = None       # (nefc, nv)
+  efc_pos: jax.Array = None     # (nefc,)
+  efc_solref: jax.Array = None  # (nefc, 2)
+  efc_solimp: jax.Array = None  # (nefc, 5)
+  efc_diag: jax.Array = None    # (nefc,) diag approx of J M^-1 J^T
+  efc_gate: jax.Array = None    # (nefc,) row exists iff gate < 0
+  efc_D: jax.Array = None       # (nefc,)
+  efc_aref: jax.Array = None    # (nefc,)
   efc_force: jax.Array = None
   qfrc_constraint: jax.Array = None
 
@@ -283,6 +287,16 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
     while j >= 0:
       anc[i, j] = 1.0
       j = mjm.dof_parentid[j]
+
+  # body -> supporting dofs mask
+  bdm = np.zeros((mjm.nbody, nv), dtype=np.float64)
+  for b in range(mjm.nbody):
+    bb = b
+    while bb > 0:
+      adr, num = mjm.body_dofadr[bb], mjm.body_dofnum[bb]
+      if num > 0:
+        bdm[b, adr:adr + num] = 1.0
+      bb = mjm.body_parentid[bb]
 
   def dev(x):
     return jnp.asarray(x, dtype=dtype)
@@ -348,6 +362,7 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       actuator_actadr=_np(mjm.actuator_actadr),
       actuator_actnum=_np(mjm.actuator_actnum),
       dof_ancestor_mask=anc,
+      body_dof_mask=bdm,
       collision_pairs=None,
       names=names,
       opt=opt,

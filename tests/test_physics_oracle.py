@@ -86,3 +86,57 @@ def test_com_vel_matches_mujoco(xml):
     d = K.com_vel(m, d)
 
     np.testing.assert_allclose(d.cvel, mjd.cvel, atol=1e-4)
+
+
+@pytest.mark.parametrize("xml", [test_models.CHAIN, test_models.FLOATER])
+def test_smooth_dynamics_matches_mujoco(xml):
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.physics import smooth as S
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+  rng = np.random.default_rng(2)
+
+  for trial in range(3):
+    _randomize(mjm, mjd, rng)
+    mjd.ctrl[:] = rng.uniform(-1, 1, mjm.nu)
+    mujoco.mj_forward(mjm, mjd)
+
+    d = M.make_data(m)
+    d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel),
+                  ctrl=jnp.asarray(mjd.ctrl))
+    d = F.fwd_position(m, d)
+    d = F.fwd_velocity(m, d)
+    d = F.fwd_actuation(m, d)
+    d = F.fwd_acceleration(m, d)
+
+    # dense mass matrix
+    qm_ref = np.zeros((mjm.nv, mjm.nv))
+    mujoco.mj_fullM(mjm, mjd, qm_ref)
+    np.testing.assert_allclose(d.qM, qm_ref, atol=1e-4)
+    np.testing.assert_allclose(d.qfrc_bias, mjd.qfrc_bias, atol=1e-3)
+    np.testing.assert_allclose(d.qfrc_passive, mjd.qfrc_passive, atol=1e-3)
+    np.testing.assert_allclose(d.qfrc_actuator, mjd.qfrc_actuator, atol=1e-3)
+    np.testing.assert_allclose(d.qacc_smooth, mjd.qacc_smooth, rtol=2e-3,
+                               atol=2e-3)
+
+
+@pytest.mark.parametrize("xml", [test_models.CHAIN, test_models.FLOATER])
+def test_step_matches_mujoco_contact_free(xml):
+  from mujoco_mpc_tpu.physics import forward as F
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+  rng = np.random.default_rng(3)
+  _randomize(mjm, mjd, rng, vel_scale=0.2)
+  mjd.ctrl[:] = rng.uniform(-1, 1, mjm.nu)
+
+  d = M.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel),
+                ctrl=jnp.asarray(mjd.ctrl))
+  step = jax.jit(lambda d: F.step(m, d))
+  for t in range(50):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(d.qpos, mjd.qpos, atol=5e-3)
+  np.testing.assert_allclose(d.qvel, mjd.qvel, atol=2e-2)
