@@ -140,3 +140,36 @@ def test_step_matches_mujoco_contact_free(xml):
     d = step(d)
   np.testing.assert_allclose(d.qpos, mjd.qpos, atol=5e-3)
   np.testing.assert_allclose(d.qvel, mjd.qvel, atol=2e-2)
+
+
+@pytest.mark.parametrize("xml", [test_models.BOUNCE, test_models.CAPSULE_FLOOR])
+def test_step_with_contacts_tracks_mujoco(xml):
+  """Contact trajectories won't match exactly (different solver), but must
+  stay close over a short drop-and-settle horizon."""
+  from mujoco_mpc_tpu.physics import forward as F
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+
+  d = M.make_data(m)
+  step = jax.jit(lambda d: F.step(m, d))
+  for t in range(400):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  # both should have settled near the floor at similar heights
+  np.testing.assert_allclose(d.qpos, mjd.qpos, atol=0.05)
+  assert np.all(np.isfinite(np.asarray(d.qpos)))
+
+
+def test_ball_settles_on_floor():
+  from mujoco_mpc_tpu.physics import forward as F
+  mjm = mujoco.MjModel.from_xml_string(test_models.BOUNCE)
+  m = M.put_model(mjm)
+  d = M.make_data(m)
+  step = jax.jit(lambda d: F.step(m, d))
+  for t in range(1500):
+    d = step(d)
+  # ball radius 0.1: should rest at z ~= 0.1, not sink or blow up
+  z = float(d.qpos[2])
+  assert 0.05 < z < 0.15, f"ball resting height {z}"
+  assert float(jnp.linalg.norm(d.qvel)) < 0.5
