@@ -1,0 +1,95 @@
+"""Fixed-shape time splines for action parameterization.
+
+TPU-first reformulation of the reference's deque-based TimeSpline
+(reference: mjpc/spline/spline.{h,cc}): a fixed number of nodes with a
+uniform time grid (t0 + k*dt), so sampling is a static gather + blend with
+no data-dependent shapes. Interpolation semantics (zero/linear/cubic with
+finite-difference Hermite slopes, endpoint clamping) match spline.cc:103-156
+and :240-277.
+
+All functions are batched over arbitrary leading axes of `values` and
+scalar-batched over `t`.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class Interpolation(enum.IntEnum):
+  ZERO = 0
+  LINEAR = 1
+  CUBIC = 2
+
+
+@struct.dataclass
+class SplinePolicy:
+  """Uniform-grid spline over actions: node k at time t0 + k*dt."""
+  t0: jax.Array           # scalar
+  dt: jax.Array           # scalar node spacing
+  values: jax.Array       # (..., num_nodes, dim)
+  interp: int = struct.field(pytree_node=False, default=Interpolation.ZERO)
+
+  @property
+  def num_nodes(self) -> int:
+    return self.values.shape[-2]
+
+
+def _slopes(values: jax.Array, dt: jax.Array) -> jax.Array:
+  """Finite-difference Hermite slopes (reference Slope(), spline.cc:259)."""
+  # interior: average of adjacent secants; endpoints: one-sided
+  sec = (values[..., 1:, :] - values[..., :-1, :]) / dt  # (..., P-1, dim)
+  first = sec[..., :1, :]
+  last = sec[..., -1:, :]
+  interior = 0.5 * (sec[..., 1:, :] + sec[..., :-1, :])
+  return jnp.concatenate([first, interior, last], axis=-2)
+
+
+def sample(policy: SplinePolicy, t: jax.Array) -> jax.Array:
+  """Sample the spline at scalar time t -> (..., dim)."""
+  p = policy.num_nodes
+  values = policy.values
+  dtype = values.dtype
+  # fractional node position, clamped to [0, P-1]
+  s = (t - policy.t0) / jnp.maximum(policy.dt, 1e-10)
+  s = jnp.clip(s, 0.0, p - 1.0)
+  lo = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, max(p - 2, 0))
+  frac = s - lo.astype(dtype)
+
+  v_lo = values[..., lo, :]
+  if policy.interp == Interpolation.ZERO:
+    return v_lo
+  v_hi = values[..., jnp.minimum(lo + 1, p - 1), :]
+  if policy.interp == Interpolation.LINEAR:
+    return v_lo * (1.0 - frac) + v_hi * frac
+  # cubic Hermite (reference CubicCoefficients, spline.cc:240-257)
+  slopes = _slopes(values, policy.dt)
+  m0 = slopes[..., lo, :]
+  m1 = slopes[..., jnp.minimum(lo + 1, p - 1), :]
+  tt = frac
+  c0 = 2 * tt**3 - 3 * tt**2 + 1
+  c1 = (tt**3 - 2 * tt**2 + tt) * policy.dt
+  c2 = -2 * tt**3 + 3 * tt**2
+  c3 = (tt**3 - tt**2) * policy.dt
+  return c0 * v_lo + c1 * m0 + c2 * v_hi + c3 * m1
+
+
+def resample(policy: SplinePolicy, new_t0: jax.Array,
+             horizon_time: jax.Array) -> SplinePolicy:
+  """Resample onto a fresh uniform grid starting at new_t0.
+
+  Mirrors the reference's non-sliding UpdateNominalPolicy
+  (sampling/planner.cc:283-310): new node times are new_t0 + k*shift with
+  shift = horizon/P (zero-order) or horizon/(P-1) (linear/cubic), values
+  sampled from the current spline.
+  """
+  p = policy.num_nodes
+  denom = p if policy.interp == Interpolation.ZERO else max(p - 1, 1)
+  shift = jnp.maximum(horizon_time / denom, 1e-5)
+  new_times = new_t0 + shift * jnp.arange(p, dtype=policy.values.dtype)
+  new_values = jax.vmap(lambda t: sample(policy, t), out_axes=-2)(new_times)
+  return policy.replace(t0=new_t0, dt=shift, values=new_values)

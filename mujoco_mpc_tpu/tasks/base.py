@@ -1,0 +1,80 @@
+"""Task base: model + pure-JAX residual + cost spec + host-side transition.
+
+Reference semantics: mjpc/task.{h,cc} — a Task couples an MJCF model with a
+residual function and a cost built from user-sensor specs. In the TPU build
+the residual is a pure JAX function of (Model, Data, params) evaluated
+inside rollouts on device; mode machines (Transition) stay host-side and
+feed mode/mocap/userdata into rollouts as inputs, like the reference passes
+them into Trajectory::Rollout (trajectory.cc:121-127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mpc_tpu.costs import spec as cost_spec_lib
+from mujoco_mpc_tpu.physics import model as model_lib
+
+
+class Task:
+  """Base class for tasks. Subclasses define XML + residual()."""
+
+  name: str = "Task"
+
+  def __init__(self, dtype=jnp.float32):
+    import mujoco
+    xml = self.xml()
+    if xml.strip().startswith("<"):
+      self.mjm = mujoco.MjModel.from_xml_string(xml, self.assets())
+    else:
+      self.mjm = mujoco.MjModel.from_xml_path(xml)
+    self.model = model_lib.put_model(self.mjm, dtype=dtype)
+    self.cost_spec = cost_spec_lib.parse_cost_spec(self.mjm, dtype=dtype)
+    self.residual_params = cost_spec_lib.parse_residual_params(
+        self.mjm, dtype=dtype)
+    self.mode = 0
+
+  # -- to override -----------------------------------------------------------
+
+  def xml(self) -> str:
+    raise NotImplementedError
+
+  def assets(self) -> Optional[dict]:
+    return None
+
+  def residual(self, m: model_lib.Model, d: model_lib.Data,
+               params: jax.Array) -> jax.Array:
+    """Pure JAX residual vector (num_residual,)."""
+    raise NotImplementedError
+
+  def transition(self, d: model_lib.Data) -> model_lib.Data:
+    """Host-side per-control-step mode machine (default: none)."""
+    return d
+
+  # -- config (reference XML custom-numeric conventions) ---------------------
+
+  def config(self, name: str, default):
+    return cost_spec_lib.get_number_or_default(self.mjm, name, default)
+
+  @property
+  def home_qpos(self) -> Optional[np.ndarray]:
+    import mujoco
+    for k in range(self.mjm.nkey):
+      if self.mjm.key(k).name == "home":
+        return np.array(self.mjm.key_qpos[k])
+    return None
+
+  def make_data(self) -> model_lib.Data:
+    d = model_lib.make_data(self.model)
+    home = self.home_qpos
+    if home is not None:
+      d = d.replace(qpos=jnp.asarray(home, d.qpos.dtype))
+    return d
+
+  def cost(self, residual: jax.Array) -> jax.Array:
+    return self.cost_spec.cost(residual)

@@ -1,0 +1,71 @@
+"""End-to-end: predictive sampling swings up the cartpole.
+
+Reference analog: mjpc sampling-planner tests + the testspeed synchronous
+plan/act loop (mjpc/testspeed.cc:96-113).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mpc_tpu.physics import forward as F
+from mujoco_mpc_tpu.planners import sampling
+from mujoco_mpc_tpu.tasks.cartpole import Cartpole
+
+
+def test_spline_sample_shapes():
+  from mujoco_mpc_tpu import spline
+  pol = spline.SplinePolicy(
+      t0=jnp.zeros(()), dt=jnp.asarray(0.1),
+      values=jnp.arange(10.0).reshape(10, 1),
+      interp=spline.Interpolation.LINEAR)
+  # linear interpolation between nodes
+  v = spline.sample(pol, jnp.asarray(0.25))
+  np.testing.assert_allclose(v, [2.5], atol=1e-6)
+  # clamped past the ends
+  np.testing.assert_allclose(spline.sample(pol, jnp.asarray(-1.0)), [0.0])
+  np.testing.assert_allclose(spline.sample(pol, jnp.asarray(5.0)), [9.0])
+
+
+def test_spline_cubic_interpolates_nodes():
+  from mujoco_mpc_tpu import spline
+  rng = np.random.default_rng(0)
+  vals = jnp.asarray(rng.standard_normal((6, 2)), jnp.float32)
+  pol = spline.SplinePolicy(
+      t0=jnp.zeros(()), dt=jnp.asarray(0.2), values=vals,
+      interp=spline.Interpolation.CUBIC)
+  for k in range(6):
+    v = spline.sample(pol, jnp.asarray(0.2 * k))
+    np.testing.assert_allclose(v, vals[k], atol=1e-5)
+
+
+def test_cartpole_swingup():
+  task = Cartpole()
+  planner = sampling.SamplingPlanner(task)
+  m = task.model
+
+  d = task.make_data()
+  step = jax.jit(lambda d: F.step(m, d))
+  key = jax.random.PRNGKey(0)
+
+  # synchronous plan/act: plan every 4 physics steps (testspeed default)
+  costs = []
+  residual_series = []
+  for t in range(400):
+    if t % 4 == 0:
+      key, sub = jax.random.split(key)
+      planner.optimize(sub, d)
+    u = planner.action(d.time)
+    d = d.replace(ctrl=u)
+    d = step(d)
+    r = task.residual(m, d, task.residual_params)
+    residual_series.append(np.asarray(r))
+    costs.append(float(task.cost(r)))
+
+  # swing-up achieved: pole near upright (cos(q1) ~ 1) at the end
+  tail = np.array(residual_series[-50:])
+  vertical = tail[:, 0]  # cos(q)-1, should be near 0
+  assert np.mean(np.abs(vertical)) < 0.3, \
+      f"pole not upright: mean |cos-1| tail = {np.mean(np.abs(vertical))}"
+  # cost decreased substantially from the start
+  assert np.mean(costs[-50:]) < 0.5 * np.mean(costs[:50])
