@@ -1,0 +1,154 @@
+"""Agent: owns a task, planners, estimators; runs the plan/act loop.
+
+Reference capability: mjpc/agent.{h,cc} — the Agent couples the active
+planner/estimator with the task, exposes name-based setters for weights /
+task parameters / modes (agent.cc:353-448), and runs PlanIteration
+(agent.cc:270-315). The synchronous loop here mirrors the testspeed
+benchmark semantics (mjpc/testspeed.cc:96-113: plan every N physics steps);
+an async variant overlaps device planning with env stepping.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import time as time_lib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mpc_tpu.costs import spec as spec_lib
+from mujoco_mpc_tpu.physics import forward as F
+from mujoco_mpc_tpu.planners import cross_entropy, sampling
+from mujoco_mpc_tpu.tasks import base as task_base
+
+PLANNER_NAMES = ["Sampling", "Gradient", "iLQG", "iLQS", "Robust Sampling",
+                 "Cross Entropy", "Sample Gradient"]
+
+
+class Agent:
+  """Plan/act orchestration for one task."""
+
+  def __init__(self, task: task_base.Task, planner: Optional[str] = None,
+               seed: int = 0):
+    self.task = task
+    self.m = task.model
+    planner_id = int(task.config("agent_planner", 0))
+    name = planner or PLANNER_NAMES[planner_id]
+    self.planner_name = name
+    self.planner = self._make_planner(name)
+    self.key = jax.random.PRNGKey(seed)
+    self._step = jax.jit(lambda d: F.step(self.m, d))
+    self._forward = jax.jit(lambda d: F.forward(self.m, d))
+    self.data = task.make_data()
+    self.steps_per_plan = 1
+    self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    self._pending_plan = None
+
+  def _make_planner(self, name: str):
+    if name in ("Sampling", "Predictive Sampling"):
+      return sampling.SamplingPlanner(self.task)
+    if name == "Cross Entropy":
+      return cross_entropy.CrossEntropyPlanner(self.task)
+    from mujoco_mpc_tpu.planners import gradient as gradient_lib
+    from mujoco_mpc_tpu.planners import ilqg as ilqg_lib
+    from mujoco_mpc_tpu.planners import robust as robust_lib
+    from mujoco_mpc_tpu.planners import sample_gradient as sg_lib
+    if name == "Gradient":
+      return gradient_lib.GradientPlanner(self.task)
+    if name == "iLQG":
+      return ilqg_lib.ILQGPlanner(self.task)
+    if name == "Robust Sampling":
+      return robust_lib.RobustPlanner(self.task)
+    if name == "Sample Gradient":
+      return sg_lib.SampleGradientPlanner(self.task)
+    if name == "iLQS":
+      from mujoco_mpc_tpu.planners import ilqs as ilqs_lib
+      return ilqs_lib.ILQSPlanner(self.task)
+    raise ValueError(f"unknown planner {name}")
+
+  # -- control loop ----------------------------------------------------------
+
+  def reset(self):
+    self.data = self.task.make_data()
+    self.planner = self._make_planner(self.planner_name)
+
+  def plan_iteration(self):
+    """One planner iteration from the current state (agent.cc:270-315)."""
+    self.key, sub = jax.random.split(self.key)
+    return self.planner.optimize(sub, self.data)
+
+  def action(self) -> jax.Array:
+    return self.planner.action(self.data.time)
+
+  def step_env(self, action: Optional[jax.Array] = None):
+    """Advance the environment one physics step with the policy action."""
+    u = self.action() if action is None else action
+    self.data = self.data.replace(ctrl=u)
+    self.data = self._step(self.data)
+    self.data = self.task.transition(self.data)
+
+  def run(self, total_time: float, steps_per_plan: int = 4,
+          async_plan: bool = False):
+    """Synchronous (testspeed.cc) or async plan/act loop.
+
+    Returns dict of time series: costs, residuals, actions, plan times.
+    """
+    n_steps = int(round(total_time / float(self.m.opt.timestep)))
+    costs, actions, plan_times = [], [], []
+    for t in range(n_steps):
+      if t % steps_per_plan == 0:
+        if async_plan:
+          # apply previous plan result, launch next plan on device
+          if self._pending_plan is not None:
+            self._pending_plan.result()
+          self._pending_plan = self._executor.submit(self.plan_iteration)
+        else:
+          t0 = time_lib.perf_counter()
+          self.plan_iteration()
+          plan_times.append(time_lib.perf_counter() - t0)
+      self.step_env()
+      r = self.task.residual(self.m, self.data, self.task.residual_params)
+      costs.append(float(self.task.cost(r)))
+      actions.append(np.asarray(self.data.ctrl))
+    if self._pending_plan is not None:
+      self._pending_plan.result()
+      self._pending_plan = None
+    return {
+        "costs": np.array(costs),
+        "actions": np.array(actions),
+        "plan_times": np.array(plan_times) if plan_times else np.zeros(0),
+        "avg_cost": float(np.mean(costs)),
+    }
+
+  # -- name-based setters (reference agent.cc:353-448) -----------------------
+
+  def set_cost_weight(self, name: str, value: float):
+    self.task.cost_spec = self.task.cost_spec.set_weight(name, value)
+    # planners hold jitted closures over cost_spec weights via task;
+    # rebuild to pick up the new device value
+    self.planner = self._make_planner(self.planner_name)
+
+  def set_task_parameter(self, name: str, value: float):
+    full = f"residual_{name}"
+    idx = 0
+    for i in range(self.task.mjm.nnumeric):
+      nm = self.task.mjm.numeric(i).name
+      if nm.startswith("residual_"):
+        if nm == full:
+          self.task.residual_params = \
+              self.task.residual_params.at[idx].set(value)
+          self.planner = self._make_planner(self.planner_name)
+          return
+        idx += 1
+    raise KeyError(name)
+
+  def get_cost_weights(self) -> dict:
+    cs = self.task.cost_spec
+    return dict(zip(cs.term_names, np.asarray(cs.weights)))
+
+  def get_cost_term_values(self) -> dict:
+    r = self.task.residual(self.m, self.data, self.task.residual_params)
+    terms = self.task.cost_spec.cost_terms(r)
+    return dict(zip(self.task.cost_spec.term_names, np.asarray(terms)))

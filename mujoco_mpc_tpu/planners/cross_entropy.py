@@ -1,0 +1,150 @@
+"""Cross-Entropy Method planner — TPU-native.
+
+Reference semantics (mjpc/planners/cross_entropy/planner.cc):
+  * K candidates = resampled nominal + Gaussian noise with per-parameter std
+    sqrt(variance[k]) floored at std_min (AddNoiseToPolicy, :343-372);
+  * new policy = MEAN of the n_elite best candidates' spline parameters
+    (:220-276); elite variance (unbiased, /(n-1)) becomes next iteration's
+    sampling variance, initialized to std_initial^2 (:139);
+  * n_elite defaults to max(K/10, 2) ("n_elite" numeric, :63-65).
+
+All candidates roll out batched under vmap; elite selection is a top_k on
+the return vector (cross-chip reduction when sharded).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mujoco_mpc_tpu import rollout as rollout_lib
+from mujoco_mpc_tpu import spline as spline_lib
+from mujoco_mpc_tpu.physics.model import Data, Model
+
+
+@struct.dataclass
+class CEMConfig:
+  num_trajectory: int = struct.field(pytree_node=False, default=64)
+  num_spline_points: int = struct.field(pytree_node=False, default=10)
+  n_elite: int = struct.field(pytree_node=False, default=6)
+  interp: int = struct.field(pytree_node=False,
+                             default=spline_lib.Interpolation.ZERO)
+  std_initial: jax.Array = None
+  std_min: jax.Array = None
+  horizon: int = struct.field(pytree_node=False, default=100)
+
+
+def make_config(task, dtype=jnp.float32) -> CEMConfig:
+  horizon_time = task.config("agent_horizon", 1.0)
+  agent_timestep = task.config("agent_timestep",
+                               float(task.mjm.opt.timestep))
+  k = int(task.config("sampling_trajectories", 64))
+  return CEMConfig(
+      num_trajectory=k,
+      num_spline_points=int(task.config("sampling_spline_points", 10)),
+      n_elite=int(task.config("n_elite", max(k // 10, 2))),
+      interp=int(task.config("sampling_representation",
+                             spline_lib.Interpolation.ZERO)),
+      std_initial=jnp.asarray(task.config("std_initial", 0.3), dtype),
+      std_min=jnp.asarray(task.config("std_min", 0.1), dtype),
+      horizon=int(round(horizon_time / agent_timestep)) + 1,
+  )
+
+
+@struct.dataclass
+class CEMState:
+  policy: spline_lib.SplinePolicy
+  variance: jax.Array  # (P, nu)
+
+
+def initial_state(m: Model, config: CEMConfig, dtype=jnp.float32) -> CEMState:
+  p = config.num_spline_points
+  nu = m.nu
+  mid = 0.5 * (m.actuator_ctrlrange[:, 0] + m.actuator_ctrlrange[:, 1])
+  policy = spline_lib.SplinePolicy(
+      t0=jnp.zeros((), dtype), dt=jnp.asarray(0.1, dtype),
+      values=jnp.tile(mid[None], (p, 1)).astype(dtype), interp=config.interp)
+  var = jnp.full((p, nu), config.std_initial**2, dtype)
+  return CEMState(policy=policy, variance=var)
+
+
+def make_optimize_fn(m: Model, residual_fn, cost_fn, config: CEMConfig,
+                     mesh=None):
+  horizon = config.horizon
+  k = config.num_trajectory
+  n_elite = min(config.n_elite, k)
+
+  def rollout_one(values, t0, dt, d0):
+    def action(state, time):
+      pol = spline_lib.SplinePolicy(
+          t0=t0, dt=dt, values=values, interp=config.interp)
+      return spline_lib.sample(pol, time)
+    return rollout_lib.rollout(m, residual_fn, cost_fn, action, d0, horizon)
+
+  def optimize(key, d0, state: CEMState):
+    policy = state.policy
+    horizon_time = (horizon - 1) * m.opt.timestep
+    policy = spline_lib.resample(policy, d0.time, horizon_time)
+
+    std = jnp.maximum(jnp.sqrt(state.variance), config.std_min)
+    noise = jax.random.normal(key, (k - 1,) + policy.values.shape,
+                              policy.values.dtype) * std[None]
+    candidates = jnp.concatenate(
+        [policy.values[None], policy.values[None] + noise], axis=0)
+    candidates = jnp.clip(candidates, m.actuator_ctrlrange[:, 0],
+                          m.actuator_ctrlrange[:, 1])
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      candidates = jax.lax.with_sharding_constraint(
+          candidates, NamedSharding(mesh, P("rollout")))
+
+    trajs = jax.vmap(
+        lambda v: rollout_one(v, policy.t0, policy.dt, d0))(candidates)
+
+    # elites: n_elite best returns
+    neg_ret, elite_idx = jax.lax.top_k(-trajs.total_return, n_elite)
+    elites = candidates[elite_idx]  # (n_elite, P, nu)
+    mean = jnp.mean(elites, axis=0)
+    var = jnp.sum((elites - mean[None])**2, axis=0) / max(n_elite - 1, 1)
+
+    new_policy = policy.replace(values=mean)
+    info = {
+        "returns": trajs.total_return,
+        "best_return": -neg_ret[0],
+        "elite_avg_return": jnp.mean(-neg_ret),
+        "winner": elite_idx[0],
+        "failures": jnp.sum(trajs.failure),
+    }
+    return CEMState(policy=new_policy, variance=var), info
+
+  return optimize
+
+
+class CrossEntropyPlanner:
+  """Host-side wrapper (reference GUI name: "Cross Entropy")."""
+
+  def __init__(self, task, config: Optional[CEMConfig] = None,
+               dtype=jnp.float32):
+    self.task = task
+    self.m = task.model
+    self.config = config or make_config(task, dtype)
+    residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
+    self._optimize = jax.jit(make_optimize_fn(
+        self.m, residual_fn, task.cost_spec.cost, self.config))
+    self.state = initial_state(self.m, self.config, dtype)
+
+  def optimize(self, key, d0: Data):
+    self.state, info = self._optimize(key, d0, self.state)
+    return info
+
+  @property
+  def policy(self):
+    return self.state.policy
+
+  def action(self, time) -> jax.Array:
+    u = spline_lib.sample(self.state.policy, jnp.asarray(time))
+    return jnp.clip(u, self.m.actuator_ctrlrange[:, 0],
+                    self.m.actuator_ctrlrange[:, 1])

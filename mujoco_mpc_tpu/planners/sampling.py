@@ -86,10 +86,14 @@ def add_noise(key: jax.Array, policy_values: jax.Array, m: Model,
                   m.actuator_ctrlrange[:, 1])
 
 
-def make_optimize_fn(m: Model, residual_fn, cost_fn, config: SamplingConfig):
+def make_optimize_fn(m: Model, residual_fn, cost_fn, config: SamplingConfig,
+                     mesh=None):
   """Build the jittable one-iteration optimizer.
 
-  Returns fn(key, d0, policy) -> (new_policy, info dict).
+  Returns fn(key, d0, policy) -> (new_policy, info dict). If `mesh` is
+  given, the candidate axis is sharded over its `rollout` axis (GSPMD
+  partitions the independent per-candidate rollouts across chips; the final
+  argmin becomes a cross-chip reduction over ICI).
   """
   horizon = config.horizon
   k_noise = config.num_trajectory - 1
@@ -114,6 +118,10 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: SamplingConfig):
     # candidates: nominal + noisy
     noisy = add_noise(key, policy.values, m, config.exploration, k_noise)
     candidates = jnp.concatenate([policy.values[None], noisy], axis=0)
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      candidates = jax.lax.with_sharding_constraint(
+          candidates, NamedSharding(mesh, P("rollout")))
 
     trajs = jax.vmap(
         lambda v: rollout_one(v, policy.t0, policy.dt, d0))(candidates)

@@ -1,0 +1,72 @@
+"""Task-level tests: registry, physics fidelity on task models, planners
+reaching goals (reference pattern: each planner optimizes particle/cartpole
+and asserts cost decrease / goal proximity)."""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from mujoco_mpc_tpu.physics import forward as F
+from mujoco_mpc_tpu.physics import model as M
+from mujoco_mpc_tpu.tasks import registry
+
+
+def test_registry_lists_tasks():
+  names = registry.task_names()
+  assert "Cartpole" in names
+  assert "Particle" in names
+  assert "Swimmer" in names
+
+
+@pytest.mark.parametrize("name", ["Cartpole", "Particle", "Swimmer"])
+def test_task_model_steps_match_mujoco(name):
+  """Closed-loop fidelity vs the C oracle on each task's own model."""
+  task = registry.get_task(name)
+  mjm = task.mjm
+  mjd = mujoco.MjData(mjm)
+  home = task.home_qpos
+  if home is not None:
+    mjd.qpos[:] = home
+  rng = np.random.default_rng(0)
+  ctrl = rng.uniform(-0.5, 0.5, mjm.nu)
+  mjd.ctrl[:] = ctrl
+
+  d = task.make_data().replace(ctrl=jnp.asarray(ctrl))
+  step = jax.jit(lambda d: F.step(task.model, d))
+  n = 100
+  for _ in range(n):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(d.qpos, mjd.qpos, atol=2e-2)
+
+
+def test_particle_tracks_goal():
+  from mujoco_mpc_tpu.agent.agent import Agent
+  task = registry.get_task("Particle")
+  agent = Agent(task)
+  for t in range(200):
+    agent.plan_iteration()
+    agent.plan_iteration()
+    agent.step_env()
+  # particle should track the Lissajous goal: position residual small
+  r = task.residual(task.model, agent.data, task.residual_params)
+  dist = float(jnp.linalg.norm(r[:2]))
+  assert dist < 0.1, f"particle {dist} from goal"
+
+
+def test_cem_cartpole_improves():
+  from mujoco_mpc_tpu.planners import cross_entropy
+  task = registry.get_task("Cartpole")
+  config = cross_entropy.make_config(task)
+  planner = cross_entropy.CrossEntropyPlanner(task, config)
+  d0 = task.make_data()
+  key = jax.random.PRNGKey(0)
+  rets = []
+  for i in range(8):
+    key, sub = jax.random.split(key)
+    info = planner.optimize(sub, d0)
+    rets.append(float(info["best_return"]))
+  assert rets[-1] < rets[0]
+  assert all(np.isfinite(rets))
