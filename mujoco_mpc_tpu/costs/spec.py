@@ -83,8 +83,11 @@ class CostSpec:
   def cost(self, residual: jax.Array) -> jax.Array:
     """Total (risk-transformed) cost; (..., num_residual) -> (...)."""
     c = jnp.sum(self.cost_terms(residual), axis=-1)
-    risked = (jnp.exp(self.risk * c) - 1.0) / self.risk
-    return jnp.where(jnp.abs(self.risk) < RISK_NEUTRAL_TOL, c, risked)
+    # both branches must be NaN-free (jnp.where grad flows through both)
+    neutral = jnp.abs(self.risk) < RISK_NEUTRAL_TOL
+    risk_safe = jnp.where(neutral, 1.0, self.risk)
+    risked = (jnp.exp(risk_safe * c) - 1.0) / risk_safe
+    return jnp.where(neutral, c, risked)
 
   def cost_grad_hess(self, residual: jax.Array):
     """Gauss-Newton expansion wrt residual: (grad, hess) per term assembled

@@ -107,3 +107,61 @@ def rollout(
       states=states, actions=actions, times=times, residuals=residuals,
       costs=jnp.where(failure, MAX_RETURN_VALUE, costs),
       total_return=total, failure=failure)
+
+
+def noisy_rollout(
+    m: Model,
+    residual_fn,
+    cost_fn,
+    policy_fn,
+    d0: Data,
+    horizon: int,
+    key: jax.Array,
+    xfrc_std: jax.Array,
+    xfrc_rate: jax.Array,
+) -> Trajectory:
+  """Rollout under Ornstein-Uhlenbeck body-wrench perturbations.
+
+  Reference: Trajectory::NoisyRollout (trajectory.cc:147-155): per step
+  xfrc <- rate * xfrc + N(0, std * sqrt(1 - rate^2)), with
+  rate = exp(-timestep / xfrc_rate). Used by the Robust planner.
+  """
+  ctrlrange = m.actuator_ctrlrange
+  d0 = F.forward(m, d0)
+  rate = jnp.exp(-m.opt.timestep / jnp.maximum(xfrc_rate, 1e-8))
+  scale = xfrc_std * jnp.sqrt(jnp.maximum(1.0 - rate * rate, 0.0))
+
+  def body(carry, step_key):
+    d = carry
+    state = pack_state(d)
+    u = policy_fn(state, d.time)
+    u = jnp.clip(u, ctrlrange[:, 0], ctrlrange[:, 1])
+    noise = jax.random.normal(step_key, d.xfrc_applied.shape,
+                              d.xfrc_applied.dtype)
+    xfrc = rate * d.xfrc_applied + scale * noise
+    d = d.replace(ctrl=u, xfrc_applied=xfrc)
+    d = F.step(m, d)
+    r = residual_fn(m, d)
+    fail = _diverged(d)
+    return d, (state, u, d.time, r, fail)
+
+  keys = jax.random.split(key, horizon - 1)
+  d_final, (states, actions, times, residuals, fails) = jax.lax.scan(
+      body, d0, keys)
+  d_final = F.forward(m, d_final)
+  r_last = residual_fn(m, d_final)
+
+  states = jnp.concatenate([states, pack_state(d_final)[None]], axis=0)
+  actions = jnp.concatenate([actions, actions[-1:]], axis=0)
+  times = jnp.concatenate([times, (d_final.time + 0)[None]], axis=0)
+  residuals = jnp.concatenate([residuals, r_last[None]], axis=0)
+
+  costs = cost_fn(residuals)
+  failure = jnp.any(fails) | _diverged(d_final) | ~jnp.all(
+      jnp.isfinite(costs))
+  total = jnp.where(failure, MAX_RETURN_VALUE,
+                    jnp.sum(costs) / jnp.maximum(horizon, 1))
+  return Trajectory(
+      states=states, actions=actions, times=times, residuals=residuals,
+      costs=jnp.where(failure, MAX_RETURN_VALUE, costs),
+      total_return=total, failure=failure)

@@ -93,3 +93,38 @@ def resample(policy: SplinePolicy, new_t0: jax.Array,
   new_times = new_t0 + shift * jnp.arange(p, dtype=policy.values.dtype)
   new_values = jax.vmap(lambda t: sample(policy, t), out_axes=-2)(new_times)
   return policy.replace(t0=new_t0, dt=shift, values=new_values)
+
+
+def interpolation_matrix(t0, dt, num_nodes: int, times: jax.Array,
+                         interp: int) -> jax.Array:
+  """Static linear operator M with u(times[i]) = M[i] @ values (per dim).
+
+  Used for least-squares spline fits (the reference builds the same
+  operators in gradient/spline_mapping.cc and inverts them in
+  ilqs/planner.cc:87-160 to convert action trajectories to spline params).
+  Zero and linear interpolations are exactly linear in the node values;
+  cubic (FD-slope Hermite) is too, but we approximate fits with the linear
+  operator for simplicity.
+  """
+  p = num_nodes
+  s = (times - t0) / jnp.maximum(dt, 1e-10)
+  s = jnp.clip(s, 0.0, p - 1.0)
+  lo = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, max(p - 2, 0))
+  frac = s - lo.astype(times.dtype)
+  rows = jnp.arange(times.shape[0])
+  m = jnp.zeros((times.shape[0], p), times.dtype)
+  if interp == Interpolation.ZERO:
+    return m.at[rows, lo].set(1.0)
+  m = m.at[rows, lo].set(1.0 - frac)
+  m = m.at[rows, jnp.minimum(lo + 1, p - 1)].add(frac)
+  return m
+
+
+def fit(actions: jax.Array, times: jax.Array, t0, dt, num_nodes: int,
+        interp: int) -> jax.Array:
+  """Least-squares spline values fitting u(times) ~= actions (T, nu)."""
+  m = interpolation_matrix(t0, dt, num_nodes, times, interp)
+  # regularized normal equations (robust for T < P corner cases)
+  a = m.T @ m + 1e-6 * jnp.eye(num_nodes, dtype=actions.dtype)
+  b = m.T @ actions
+  return jnp.linalg.solve(a, b)
