@@ -52,6 +52,8 @@ _XML = """
     <user name="Centered" dim="1" user="6 10.0 0 100.0 0.1"/>
     <user name="Velocity" dim="1" user="0 0.1 0.0 1.0"/>
     <user name="Control" dim="1" user="0 0.1 0.0 1.0"/>
+    <jointpos name="slider_pos" joint="slider"/>
+    <jointpos name="hinge_pos" joint="hinge"/>
     <framepos name="trace0" objtype="site" objname="tip"/>
   </sensor>
   <keyframe>

@@ -1,0 +1,215 @@
+"""Quadruped locomotion task (flat terrain).
+
+Reference capability: mjpc/tasks/quadruped (quadruped.cc:33-260) — the
+flagship benchmark workload (BASELINE.md config 3: predictive sampling with
+4096 rollouts). Residual terms in Quadruped mode: Upright(3), Height(1),
+Position(3), Gait(4) (per-foot height tracking against a phase-offset step
+oscillator: StepHeight, quadruped.cc:653-672 with trot phases
+kGaitPhase[trot] = (0, .5, .5, 0)), Balance(2) (capture point vs average
+foot position), Effort(12), Posture(12, abduction gain 2x), Yaw(2),
+Angmom(3). Gait parameters (cadence/amplitude/duty) are residual_*
+numerics; the goal is a mocap body.
+
+The robot model here is our own simplified 12-DoF quadruped (trunk + 3
+hinges per leg with sphere feet) — reference uses a Unitree A1; the task
+machinery, not the mesh fidelity, is the capability being ported. The full
+mode machine (Biped/Walk/Scramble/Flip) is host-side Transition work and
+comes later.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mpc_tpu.physics import sensors
+from mujoco_mpc_tpu.physics.model import Data, Model
+from mujoco_mpc_tpu.tasks import base
+
+# trot gait phases FL, HL, FR, HR (reference kGaitPhase[kGaitTrot])
+TROT_PHASE = (0.0, 0.5, 0.5, 0.0)
+FOOT_RADIUS = 0.02
+HEIGHT_GOAL = 0.25
+POSTURE_GAIN = (2.0, 1.0, 1.0)  # abduction, hip, knee
+
+
+def _leg(name, x, y):
+  mx = "-1" if y < 0 else "1"
+  return f"""
+      <body name="hip_{name}" pos="{x} {y} 0">
+        <joint name="abd_{name}" type="hinge" axis="1 0 0" range="-45 45"/>
+        <geom name="hip_{name}_geom" type="sphere" size="0.035" mass="0.6"/>
+        <body name="thigh_{name}" pos="0 {0.06 if y > 0 else -0.06} 0">
+          <joint name="hip2_{name}" type="hinge" axis="0 1 0"
+                 range="-120 60"/>
+          <geom name="thigh_{name}_geom" type="capsule"
+                fromto="0 0 0 0 0 -0.2" size="0.02" mass="0.8"/>
+          <body name="calf_{name}" pos="0 0 -0.2">
+            <joint name="knee_{name}" type="hinge" axis="0 1 0"
+                   range="-154 -30"/>
+            <geom name="calf_{name}_geom" type="capsule"
+                  fromto="0 0 0 0 0 -0.2" size="0.015" mass="0.2"/>
+            <geom name="foot_{name}" type="sphere" pos="0 0 -0.2"
+                  size="0.02" mass="0.05" friction="1.0 0.02 0.0001"/>
+          </body>
+        </body>
+      </body>"""
+
+
+_ACT = "".join(
+    f'<position name="{j}_{leg}_m" joint="{j}_{leg}" kp="60" '
+    f'ctrlrange="{lo} {hi}" ctrllimited="true" forcerange="-33 33" '
+    f'forcelimited="true"/>'
+    for leg in ("fl", "hl", "fr", "hr")
+    for j, lo, hi in (("abd", -0.6, 0.6), ("hip2", -2.0, 1.0),
+                      ("knee", -2.6, -0.6)))
+
+
+_XML = f"""
+<mujoco model="Quadruped">
+  <option timestep="0.005"/>
+  <custom>
+    <numeric name="agent_planner" data="0" />
+    <numeric name="agent_horizon" data="0.35" />
+    <numeric name="agent_timestep" data="0.01" />
+    <numeric name="sampling_spline_points" data="3" />
+    <numeric name="sampling_trajectories" data="60"/>
+    <numeric name="sampling_exploration" data="0.04" />
+    <numeric name="residual_Cadence" data="2 0 4" />
+    <numeric name="residual_Amplitude" data="0.06 0 0.2" />
+    <numeric name="residual_Duty ratio" data="0.45 0 1"/>
+    <numeric name="residual_Heading" data="0 -3.14 3.14" />
+  </custom>
+  <default>
+    <geom friction="0.7 0.02 0.0001" solref="0.01 1"/>
+    <joint damping="0.6" armature="0.01"/>
+  </default>
+  <worldbody>
+    <geom name="floor" type="plane" size="50 50 0.1"/>
+    <body name="trunk" pos="0 0 0.27">
+      <freejoint name="root"/>
+      <geom name="trunk_geom" type="box" size="0.19 0.06 0.055"
+            mass="4.8"/>
+      <site name="head" pos="0.22 0 0"/>
+      {_leg("fl", 0.17, 0.12)}
+      {_leg("hl", -0.17, 0.12)}
+      {_leg("fr", 0.17, -0.12)}
+      {_leg("hr", -0.17, -0.12)}
+    </body>
+    <body name="goal" mocap="true" pos="2 0 0.25">
+      <geom name="goal_geom" type="sphere" size="0.05" contype="0"
+            conaffinity="0"/>
+    </body>
+  </worldbody>
+  <actuator>
+    {_ACT}
+  </actuator>
+  <sensor>
+    <user name="Upright" dim="3" user="6 1 0 3 0.05"/>
+    <user name="Height" dim="1" user="6 1 0 3 0.04"/>
+    <user name="Position" dim="3" user="2 0.2 0 0.5 0.1"/>
+    <user name="Gait" dim="4" user="6 2 0 10 0.03"/>
+    <user name="Balance" dim="2" user="2 0.2 0 0.3 0.1"/>
+    <user name="Effort" dim="12" user="0 0.03 0.0 0.1"/>
+    <user name="Posture" dim="12" user="0 0.02 0.0 0.1"/>
+    <user name="Orientation" dim="2" user="0 0 0 .03"/>
+    <user name="Angmom" dim="3" user="0 0 0 .03"/>
+  </sensor>
+  <keyframe>
+    <key name="home"
+         qpos="0 0 0.27 1 0 0 0 {' '.join(['0 0.9 -1.8'] * 4)}"/>
+  </keyframe>
+</mujoco>
+"""
+
+
+class QuadrupedFlat(base.Task):
+  """Trot toward the goal (reference "Quadruped Flat")."""
+
+  name = "Quadruped Flat"
+
+  def __init__(self, **kw):
+    super().__init__(**kw)
+    names = self.model.names
+    self._trunk = names["body"].index("trunk")
+    self._head = names["site"].index("head")
+    self._feet_geoms = [names["geom"].index(f"foot_{l}")
+                       for l in ("fl", "hl", "fr", "hr")]
+    home = self.home_qpos
+    self._home_joints = jnp.asarray(home[7:], jnp.float32)
+
+  def xml(self) -> str:
+    return _XML
+
+  def residual(self, m: Model, d: Data, params: jax.Array) -> jax.Array:
+    cadence, amplitude, duty, heading = (params[0], params[1], params[2],
+                                         params[3])
+    dtype = d.qpos.dtype
+    trunk = self._trunk
+
+    foot_pos = d.geom_xpos[jnp.array(self._feet_geoms)]
+    avg_foot = jnp.mean(foot_pos, axis=0)
+    torso_mat = d.xmat[trunk]
+    torso_pos = d.xipos[trunk]
+
+    # Upright: z-axis of trunk should be (0,0,1); reference uses
+    # (xmat[2], xmat[5], xmat[8]-1) scaled by 0.25 on xy? (quadruped.cc:49-59
+    # standing branch: [z0*?**]) — standing: residual = z-axis - (0,0,1)
+    upright = jnp.stack([
+        torso_mat[0, 2], torso_mat[1, 2], torso_mat[2, 2] - 1.0])
+
+    # Height: torso height over average foot height vs goal
+    height = (torso_pos[2] - avg_foot[2]) - HEIGHT_GOAL
+
+    # Position: head site to goal (xy; z unused in flat quadruped mode)
+    head = d.site_xpos[self._head]
+    goal = d.mocap_pos[0]
+    position = jnp.stack([
+        head[0] - goal[0], head[1] - goal[1], jnp.zeros((), dtype)])
+
+    # Gait: per-foot height tracking of the step oscillator
+    phase = 2.0 * jnp.pi * cadence * d.time
+    phases = phase - 2.0 * jnp.pi * jnp.asarray(TROT_PHASE, dtype)
+    angle = jnp.mod(phases + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    angle = angle * 0.5 / jnp.maximum(1.0 - duty, 1e-3)
+    step = jnp.abs(jnp.cos(jnp.clip(angle, -jnp.pi / 2, jnp.pi / 2)))
+    step = amplitude * jnp.where(duty < 1.0, step, 0.0)
+    target = FOOT_RADIUS + step
+    gait = jnp.where(step > 0, foot_pos[:, 2] - target, 0.0)
+
+    # Balance: capture point vs average foot position
+    comvel = sensors.subtree_linvel(m, d, trunk)
+    compos = d.subtree_com[trunk]
+    fall_time = jnp.sqrt(2.0 * HEIGHT_GOAL / 9.81)
+    capture = compos[:2] + fall_time * comvel[:2]
+    balance = capture - avg_foot[:2]
+
+    # Effort
+    effort = 2e-2 * d.actuator_force
+
+    # Posture (abduction joints weighted 2x)
+    gains = jnp.tile(jnp.asarray(POSTURE_GAIN, dtype), 4)
+    posture = (d.qpos[7:] - self._home_joints) * gains
+
+    # Yaw / heading
+    head_dir = torso_mat[:2, 0]
+    head_dir = head_dir / jnp.maximum(jnp.linalg.norm(head_dir), 1e-8)
+    yaw = jnp.stack([head_dir[0] - jnp.cos(heading),
+                     head_dir[1] - jnp.sin(heading)])
+
+    # Angular momentum
+    angmom = sensors.subtree_angmom(m, d, trunk)
+
+    return jnp.concatenate([
+        upright, height[None], position, gait, balance, effort, posture,
+        yaw, angmom])
+
+  def transition(self, d: Data) -> Data:
+    return d
+
+
+class QuadrupedHill(QuadrupedFlat):
+  """Hill-terrain variant placeholder (same residual; terrain later)."""
+
+  name = "Quadruped Hill"
