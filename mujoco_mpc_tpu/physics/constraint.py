@@ -230,9 +230,10 @@ def reference_constraint(m: Model, d: Data) -> Data:
   return d.replace(efc_D=gate / r, efc_aref=aref)
 
 
-def solve(m: Model, d: Data,
-          iterations: int = 10, ls_iterations: int = 8) -> Data:
+def solve(m: Model, d: Data) -> Data:
   """Primal Newton solve for constrained qacc."""
+  iterations = m.opt.iterations
+  ls_iterations = m.opt.ls_iterations
   dtype = d.qpos.dtype
   nv = m.nv
   nefc = d.efc_J.shape[0] if d.efc_J is not None else 0

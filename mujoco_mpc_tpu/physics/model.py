@@ -90,8 +90,9 @@ class Option:
   impratio: jax.Array
   # static fields
   integrator: int = struct.field(pytree_node=False, default=EULER)
-  iterations: int = struct.field(pytree_node=False, default=50)
-  ls_iterations: int = struct.field(pytree_node=False, default=25)
+  # fixed-iteration Newton constraint solver (TPU: static trip counts)
+  iterations: int = struct.field(pytree_node=False, default=6)
+  ls_iterations: int = struct.field(pytree_node=False, default=4)
   tolerance: float = struct.field(pytree_node=False, default=1e-8)
   disableflags: int = struct.field(pytree_node=False, default=0)
 
@@ -309,8 +310,10 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       viscosity=dev(mjm.opt.viscosity),
       impratio=dev(mjm.opt.impratio),
       integrator=int(mjm.opt.integrator),
-      iterations=int(mjm.opt.iterations),
-      ls_iterations=int(mjm.opt.ls_iterations),
+      # cap MuJoCo's generous defaults: fixed-point Newton converges in a
+      # handful of iterations on robotics-scale systems
+      iterations=min(int(mjm.opt.iterations), 6),
+      ls_iterations=min(int(mjm.opt.ls_iterations), 4),
       tolerance=float(mjm.opt.tolerance),
       disableflags=int(mjm.opt.disableflags),
   )
