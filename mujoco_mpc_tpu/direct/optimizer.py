@@ -92,6 +92,8 @@ class Direct:
     self.qpos_initial = np.tile(np.asarray(d_probe.qpos), (horizon, 1))
     self.weight_sensor = np.ones(self.ns)
     self.weight_force = np.ones(nv)
+    self.prior_weight = 0.0   # static: set before first optimize()
+    self._prior_qpos = jnp.asarray(self.qpos_initial, dtype)
     self.status = Status.UNSOLVED
     self.iterations = 0
 
@@ -128,7 +130,16 @@ class Direct:
 
     rs = jax.vmap(stage)(qs[1:-1], vs[:-1], accs, sensor_meas[1:-1],
                          force_meas[1:-1])
-    return rs.reshape(-1)
+    out = rs.reshape(-1)
+
+    # optional Gaussian prior on the first configurations (Batch estimator:
+    # reference batch.{h,cc} adds a prior term to the Direct cost)
+    if self.prior_weight > 0.0:
+      dq = jax.vmap(lambda q, qp: deriv.qpos_diff(m, q, qp))(
+          qs, self._prior_qpos)
+      out = jnp.concatenate(
+          [out, jnp.sqrt(self.prior_weight) * dq.reshape(-1)])
+    return out
 
   def _make_solve(self):
     m = self.m

@@ -67,3 +67,20 @@ def test_ground_truth_estimator():
   s0 = est.state.copy()
   est.update(np.asarray([0.5]))
   assert not np.allclose(est.state, s0)
+
+
+def test_batch_estimator_tracks():
+  from mujoco_mpc_tpu.estimators.batch import Batch
+  task = registry.get_task("Cartpole")
+  rng = np.random.default_rng(1)
+  states, sensors, ctrls = _simulate(task, 40, rng)
+  est = Batch(task, configuration_length=4)
+  x0 = states[0].copy()
+  x0[:task.model.nq] += 0.2 * rng.standard_normal(task.model.nq)
+  est.set_state(x0)
+  errs = []
+  for t in range(1, len(states)):
+    est.update(ctrls[t], sensors[t])
+    errs.append(np.linalg.norm(
+        est.state[:task.model.nq] - states[t][:task.model.nq]))
+  assert errs[-1] < 0.1, f"final err {errs[-1]}, first {errs[0]}"
