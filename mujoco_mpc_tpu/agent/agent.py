@@ -130,6 +130,53 @@ class Agent:
     # rebuild to pick up the new device value
     self.planner = self._make_planner(self.planner_name)
 
+  def reset_cost_weights(self):
+    from mujoco_mpc_tpu.costs import spec as spec_lib
+    self.task.cost_spec = spec_lib.parse_cost_spec(self.task.mjm)
+    self.planner = self._make_planner(self.planner_name)
+
+  def set_task_parameter_selection(self, name: str, value: str):
+    """Selection parameters (residual_select_*): store option index."""
+    options = self.task.selection_options(name)
+    self.task.set_selection(name, options.index(value))
+
+  def get_task_parameters(self) -> dict:
+    out = {}
+    idx = 0
+    for i in range(self.task.mjm.nnumeric):
+      nm = self.task.mjm.numeric(i).name
+      if nm.startswith("residual_"):
+        out[nm[len("residual_"):]] = float(
+            np.asarray(self.task.residual_params)[idx])
+        idx += 1
+    return out
+
+  def set_mode(self, mode: str):
+    self.task.set_mode_by_name(mode)
+
+  def get_mode(self) -> str:
+    return self.task.mode_name
+
+  def get_all_modes(self):
+    return self.task.modes
+
+  def best_trajectory(self):
+    """Nominal rollout of the current policy (reference BestTrajectory)."""
+    from mujoco_mpc_tpu import rollout as rollout_lib
+    horizon = getattr(self.planner.config, "horizon", 50) \
+        if hasattr(self.planner, "config") else 50
+    residual_fn = lambda m, d: self.task.residual(
+        m, d, self.task.residual_params)
+    traj = rollout_lib.rollout(
+        self.m, residual_fn, self.task.cost_spec.cost,
+        lambda state, time: self.planner.action(time), self.data, horizon)
+    return {
+        "states": np.asarray(traj.states),
+        "actions": np.asarray(traj.actions),
+        "times": np.asarray(traj.times),
+        "steps": horizon,
+    }
+
   def set_task_parameter(self, name: str, value: float):
     full = f"residual_{name}"
     idx = 0

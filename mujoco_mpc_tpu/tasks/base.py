@@ -39,6 +39,53 @@ class Task:
         self.mjm, dtype=dtype)
     self.mode = 0
 
+  # -- modes (reference: `task_transition` custom text lists mode names,
+  # agent.cc:416-423) --------------------------------------------------------
+
+  @property
+  def modes(self) -> list:
+    try:
+      for i in range(self.mjm.ntext):
+        if self.mjm.text(i).name == "task_transition":
+          data = self.mjm.text(i).data
+          if isinstance(data, bytes):
+            data = data.decode()
+          return [s for s in data.replace("\x00", "|").split("|") if s]
+    except Exception:
+      pass
+    return ["default"]
+
+  @property
+  def mode_name(self) -> str:
+    modes = self.modes
+    return modes[self.mode] if self.mode < len(modes) else modes[0]
+
+  def set_mode_by_name(self, name: str):
+    self.mode = self.modes.index(name)
+
+  def selection_options(self, name: str) -> list:
+    """Options for residual_select_* parameters (from custom text)."""
+    for i in range(self.mjm.ntext):
+      if self.mjm.text(i).name == f"residual_list_{name}":
+        data = self.mjm.text(i).data
+        if isinstance(data, bytes):
+          data = data.decode()
+        return [s for s in data.replace("\x00", "|").split("|") if s]
+    return []
+
+  def set_selection(self, name: str, index: int):
+    import jax.numpy as jnp
+    idx = 0
+    for i in range(self.mjm.nnumeric):
+      nm = self.mjm.numeric(i).name
+      if nm.startswith("residual_"):
+        if nm == f"residual_select_{name}":
+          self.residual_params = self.residual_params.at[idx].set(
+              float(index))
+          return
+        idx += 1
+    raise KeyError(name)
+
   # -- to override -----------------------------------------------------------
 
   def xml(self) -> str:
