@@ -42,11 +42,13 @@ def _ensure_loaded():
       ("walker", ["Walker"]),
       ("quadruped", ["QuadrupedFlat", "QuadrupedHill"]),
       ("humanoid", ["HumanoidStand", "HumanoidWalk"]),
+      ("tracking", ["HumanoidTracking"]),
       ("acrobot", ["Acrobot"]),
       ("pendulum", ["Pendulum"]),
       ("quadrotor", ["Quadrotor"]),
-      ("hand", ["HandReorient"]),
+      ("hand", ["HandReorient", "CubeSolving"]),
       ("fingers", ["Fingers"]),
+      ("manipulation", ["Manipulation"]),
   ]:
     try:
       mod = __import__(f"mujoco_mpc_tpu.tasks.{modname}",
