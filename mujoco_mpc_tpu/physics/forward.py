@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mujoco_mpc_tpu.physics import constraint as C
 from mujoco_mpc_tpu.physics import kinematics as K
@@ -62,24 +63,31 @@ def forward(m: Model, d: Data) -> Data:
 
 def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
                    dt) -> jax.Array:
-  """mj_integratePos: joint-type-aware position integration."""
+  """mj_integratePos, vectorized per joint type (scatter-free fast paths).
+
+  Scalar joints update with one gather+scatter; quaternion joints are
+  batched per type with a single block scatter each.
+  """
   out = qpos
-  for j in range(m.njnt):
-    jtype = int(m.jnt_type[j])
-    qadr = int(m.jnt_qposadr[j])
-    dadr = int(m.jnt_dofadr[j])
-    if jtype in (HINGE, SLIDE):
-      out = out.at[qadr].add(dt * qvel[dadr])
-    elif jtype == BALL:
-      q = mm.quat_integrate(
-          mm.normalize_quat(qpos[qadr:qadr + 4]), qvel[dadr:dadr + 3], dt)
-      out = out.at[qadr:qadr + 4].set(q)
-    elif jtype == FREE:
-      out = out.at[qadr:qadr + 3].add(dt * qvel[dadr:dadr + 3])
-      q = mm.quat_integrate(
-          mm.normalize_quat(qpos[qadr + 3:qadr + 7]), qvel[dadr + 3:dadr + 6],
-          dt)
-      out = out.at[qadr + 3:qadr + 7].set(q)
+  if len(m.scalar_qadr):
+    out = out.at[m.scalar_qadr].add(dt * qvel[m.scalar_dadr])
+  if len(m.ball_qadr):
+    qidx = (m.ball_qadr[:, None] + np.arange(4)[None, :]).reshape(-1)
+    didx = (m.ball_dadr[:, None] + np.arange(3)[None, :]).reshape(-1)
+    quats = qpos[qidx].reshape(-1, 4)
+    omegas = qvel[didx].reshape(-1, 3)
+    newq = mm.quat_integrate(mm.normalize_quat(quats), omegas, dt)
+    out = out.at[qidx].set(newq.reshape(-1))
+  if len(m.free_qadr):
+    pidx = (m.free_qadr[:, None] + np.arange(3)[None, :]).reshape(-1)
+    vidx = (m.free_dadr[:, None] + np.arange(3)[None, :]).reshape(-1)
+    qidx = (m.free_qadr[:, None] + 3 + np.arange(4)[None, :]).reshape(-1)
+    widx = (m.free_dadr[:, None] + 3 + np.arange(3)[None, :]).reshape(-1)
+    out = out.at[pidx].add(dt * qvel[vidx])
+    quats = qpos[qidx].reshape(-1, 4)
+    omegas = qvel[widx].reshape(-1, 3)
+    newq = mm.quat_integrate(mm.normalize_quat(quats), omegas, dt)
+    out = out.at[qidx].set(newq.reshape(-1))
   return out
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mujoco_mpc_tpu.physics import math as mm
 from mujoco_mpc_tpu.physics.model import (BALL, FREE, HINGE, SLIDE, Data,
@@ -94,20 +95,20 @@ def kinematics(m: Model, d: Data) -> Data:
 
 
 def com_pos(m: Model, d: Data) -> Data:
-  """Subtree com, c-frame spatial inertia, and dof axes (mj_comPos)."""
+  """Subtree com, c-frame spatial inertia, and dof axes (mj_comPos).
+
+  Backward tree accumulations are expressed as static-mask matmuls
+  (subtree_mask @ per-body quantities) — one MXU op instead of an unrolled
+  reverse tree walk.
+  """
   dtype = d.qpos.dtype
   nb = m.nbody
 
-  # subtree com: backward accumulation of mass-weighted body com
+  stm = jnp.asarray(m.subtree_mask, dtype)
   mass_x = m.body_mass[:, None] * d.xipos  # (nb, 3)
-  sub_sum = [mass_x[i] for i in range(nb)]
-  sub_mass = [m.body_mass[i] for i in range(nb)]
-  for i in range(nb - 1, 0, -1):
-    pid = int(m.body_parentid[i])
-    sub_sum[pid] = sub_sum[pid] + sub_sum[i]
-    sub_mass[pid] = sub_mass[pid] + sub_mass[i]
-  subtree_com = jnp.stack(
-      [sub_sum[i] / jnp.maximum(sub_mass[i], 1e-15) for i in range(nb)])
+  sub_sum = stm @ mass_x                   # (nb, 3)
+  sub_mass = jnp.maximum(m.body_subtreemass, 1e-15)
+  subtree_com = sub_sum / sub_mass[:, None]
 
   # c-frame reference point per body: subtree com of body's kinematic root
   ref = subtree_com[m.body_rootid]  # (nb, 3)
@@ -119,79 +120,70 @@ def com_pos(m: Model, d: Data) -> Data:
   # world body: zero
   cinert = cinert.at[0].set(jnp.zeros(10, dtype))
 
-  # cdof: motion subspace per dof at body's c-frame point
-  cdofs = []
-  for j in range(m.njnt):
-    jtype = int(m.jnt_type[j])
-    bid = int(m.jnt_bodyid[j])
-    c = ref[bid]
-    offset = c - d.xanchor[j]
-    if jtype == FREE:
-      # 3 translational dofs (world axes)
-      for k in range(3):
-        e = jnp.zeros(3, dtype).at[k].set(1.0)
-        cdofs.append(jnp.concatenate([jnp.zeros(3, dtype), e]))
-      # 3 rotational dofs: body-frame axes (MuJoCo free-joint ang vel is in
-      # the child body frame after the translation dofs)
-      for k in range(3):
-        ax = d.xmat[bid][:, k]
-        cdofs.append(jnp.concatenate([ax, jnp.cross(ax, offset)]))
-    elif jtype == BALL:
-      for k in range(3):
-        ax = d.xmat[bid][:, k]
-        cdofs.append(jnp.concatenate([ax, jnp.cross(ax, offset)]))
-    elif jtype == SLIDE:
-      cdofs.append(jnp.concatenate([jnp.zeros(3, dtype), d.xaxis[j]]))
-    elif jtype == HINGE:
-      ax = d.xaxis[j]
-      cdofs.append(jnp.concatenate([ax, jnp.cross(ax, offset)]))
-  cdof = (jnp.stack(cdofs) if cdofs else jnp.zeros((0, 6), dtype))
+  # cdof: motion subspace per dof at body's c-frame point — vectorized per
+  # joint type (static index maps, no per-joint unrolling)
+  cdof = jnp.zeros((m.nv, 6), dtype)
+  hinges = np.where(m.jnt_type == HINGE)[0]
+  slides = np.where(m.jnt_type == SLIDE)[0]
+  if len(hinges):
+    dadr = m.jnt_dofadr[hinges]
+    bid = m.jnt_bodyid[hinges]
+    ax = d.xaxis[hinges]                       # (nh, 3)
+    offset = ref[bid] - d.xanchor[hinges]
+    rows = jnp.concatenate([ax, jnp.cross(ax, offset)], axis=-1)
+    cdof = cdof.at[dadr].set(rows)
+  if len(slides):
+    dadr = m.jnt_dofadr[slides]
+    ax = d.xaxis[slides]
+    rows = jnp.concatenate([jnp.zeros_like(ax), ax], axis=-1)
+    cdof = cdof.at[dadr].set(rows)
+  balls = np.where(m.jnt_type == BALL)[0]
+  if len(balls):
+    bid = m.jnt_bodyid[balls]
+    axes = jnp.swapaxes(d.xmat[bid], -1, -2)   # (nball, 3(axis), 3)
+    offset = (ref[bid] - d.xanchor[balls])[:, None, :]
+    rows = jnp.concatenate(
+        [axes, jnp.cross(axes, jnp.broadcast_to(offset, axes.shape))],
+        axis=-1)                               # (nball, 3, 6)
+    didx = (m.jnt_dofadr[balls][:, None] + np.arange(3)[None]).reshape(-1)
+    cdof = cdof.at[didx].set(rows.reshape(-1, 6))
+  frees = np.where(m.jnt_type == FREE)[0]
+  if len(frees):
+    bid = m.jnt_bodyid[frees]
+    dadr = m.jnt_dofadr[frees]
+    tidx = (dadr[:, None] + np.arange(3)[None]).reshape(-1)
+    eye_rows = jnp.tile(
+        jnp.concatenate([jnp.zeros((3, 3), dtype), jnp.eye(3, dtype=dtype)],
+                        axis=-1), (len(frees), 1))
+    cdof = cdof.at[tidx].set(eye_rows)
+    axes = jnp.swapaxes(d.xmat[bid], -1, -2)
+    offset = (ref[bid] - d.xanchor[frees])[:, None, :]
+    rows = jnp.concatenate(
+        [axes, jnp.cross(axes, jnp.broadcast_to(offset, axes.shape))],
+        axis=-1)
+    ridx = (dadr[:, None] + 3 + np.arange(3)[None]).reshape(-1)
+    cdof = cdof.at[ridx].set(rows.reshape(-1, 6))
 
   return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
 
 def com_vel(m: Model, d: Data) -> Data:
-  """Body spatial velocities and cdof time-derivatives (mj_comVel)."""
+  """Body spatial velocities and cdof time-derivatives (mj_comVel).
+
+  Fully vectorized: cvel[b] = sum of cdof_j * qvel_j over the dofs
+  supporting b (one body_dof_mask matmul); cdof_dot_j = vpre_j x cdof_j
+  where vpre_j = dof_pred_mask @ (cdof * qvel) encodes the mj_comVel
+  convention (hinge/slide: all earlier path dofs; ball: path before the
+  joint; free rotations: own translations; free translations: zero) —
+  verified against the oracle in tests.
+  """
   dtype = d.qpos.dtype
-  nb = m.nbody
-  cvel = [jnp.zeros(6, dtype)] * nb
-  cdof_dot = [jnp.zeros(6, dtype)] * m.nv
-
-  for i in range(1, nb):
-    pid = int(m.body_parentid[i])
-    v = cvel[pid]
-    dofadr = int(m.body_dofadr[i])
-    # mj_comVel convention (verified numerically against the oracle):
-    #  * slide/hinge dofs: cdof_dot = v_before_this_dof x cdof
-    #  * ball dofs: all three use the velocity BEFORE the ball joint
-    #  * free joints: translations have cdof_dot = 0; the three rotational
-    #    dofs use the velocity including ONLY the translational dofs
-    k = 0
-    ndof = int(m.body_dofnum[i])
-    while k < ndof:
-      n = dofadr + k
-      jtype = int(m.jnt_type[int(m.dof_jntid[n])])
-      if jtype == FREE:
-        # translations: zero cdof_dot
-        for kk in range(3):
-          v = v + d.cdof[dofadr + kk] * d.qvel[dofadr + kk]
-        vpre = v
-        for kk in range(3, 6):
-          cdof_dot[dofadr + kk] = mm.motion_cross(vpre, d.cdof[dofadr + kk])
-          v = v + d.cdof[dofadr + kk] * d.qvel[dofadr + kk]
-        k += 6
-      elif jtype == BALL:
-        vpre = v
-        for kk in range(3):
-          cdof_dot[n + kk] = mm.motion_cross(vpre, d.cdof[n + kk])
-          v = v + d.cdof[n + kk] * d.qvel[n + kk]
-        k += 3
-      else:
-        cdof_dot[n] = mm.motion_cross(v, d.cdof[n])
-        v = v + d.cdof[n] * d.qvel[n]
-        k += 1
-    cvel[i] = v
-
-  cvel = jnp.stack(cvel)
-  cdof_dot = (jnp.stack(cdof_dot) if m.nv else jnp.zeros((0, 6), dtype))
+  cdof_qvel = d.cdof * d.qvel[:, None]                  # (nv, 6)
+  bdm = jnp.asarray(m.body_dof_mask, dtype)             # (nb, nv)
+  cvel = bdm @ cdof_qvel                                # (nb, 6)
+  dpm = jnp.asarray(m.dof_pred_mask, dtype)             # (nv, nv)
+  vpre = dpm @ cdof_qvel                                # (nv, 6)
+  cdof_dot = mm.motion_cross(vpre, d.cdof)              # (nv, 6)
+  zero_rows = jnp.asarray(m.dof_cdofdot_zero, dtype)[:, None]
+  cdof_dot = cdof_dot * (1.0 - zero_rows)
   return d.replace(cvel=cvel, cdof_dot=cdof_dot)

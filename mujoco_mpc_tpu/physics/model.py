@@ -147,6 +147,22 @@ class Model:
   dof_ancestor_mask: np.ndarray = struct.field(pytree_node=False)
   # body_dof_mask[b, i] = 1 if dof i is on the kinematic path root->body b
   body_dof_mask: np.ndarray = struct.field(pytree_node=False)
+  # joint-type index maps for vectorized (scatter-free) position updates:
+  # scalar (hinge/slide) qpos<->dof, ball quat blocks, free joints
+  scalar_qadr: np.ndarray = struct.field(pytree_node=False, default=None)
+  scalar_dadr: np.ndarray = struct.field(pytree_node=False, default=None)
+  ball_qadr: np.ndarray = struct.field(pytree_node=False, default=None)
+  ball_dadr: np.ndarray = struct.field(pytree_node=False, default=None)
+  free_qadr: np.ndarray = struct.field(pytree_node=False, default=None)
+  free_dadr: np.ndarray = struct.field(pytree_node=False, default=None)
+  # subtree_mask[b, c] = 1 if body c is in the subtree rooted at b
+  subtree_mask: np.ndarray = struct.field(pytree_node=False, default=None)
+  # dof_pred_mask[j, j'] = 1 if dof j' contributes to the pre-velocity used
+  # for cdof_dot of dof j (mj_comVel convention, see kinematics.com_vel)
+  dof_pred_mask: np.ndarray = struct.field(pytree_node=False, default=None)
+  # dof_cdofdot_zero[j] = 1 if cdof_dot of dof j is identically zero
+  # (free-joint translations)
+  dof_cdofdot_zero: np.ndarray = struct.field(pytree_node=False, default=None)
   # precomputed static collision pairs, grouped by type pair (see collision.py)
   collision_pairs: Any = struct.field(pytree_node=False, default=None)
   # name maps (host-side convenience)
@@ -289,6 +305,21 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       anc[i, j] = 1.0
       j = mjm.dof_parentid[j]
 
+  # joint-type index maps
+  scalar_q, scalar_d, ball_q, ball_d, free_q, free_d = [], [], [], [], [], []
+  for j in range(mjm.njnt):
+    t, qa, da = int(mjm.jnt_type[j]), int(mjm.jnt_qposadr[j]), \
+        int(mjm.jnt_dofadr[j])
+    if t in (SLIDE, HINGE):
+      scalar_q.append(qa)
+      scalar_d.append(da)
+    elif t == BALL:
+      ball_q.append(qa)
+      ball_d.append(da)
+    elif t == FREE:
+      free_q.append(qa)
+      free_d.append(da)
+
   # body -> supporting dofs mask
   bdm = np.zeros((mjm.nbody, nv), dtype=np.float64)
   for b in range(mjm.nbody):
@@ -298,6 +329,43 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       if num > 0:
         bdm[b, adr:adr + num] = 1.0
       bb = mjm.body_parentid[bb]
+
+  # subtree mask (for backward tree accumulations as matmuls)
+  stm = np.zeros((mjm.nbody, mjm.nbody), dtype=np.float64)
+  for c in range(mjm.nbody):
+    b = c
+    while b >= 0:
+      stm[b, c] = 1.0
+      if b == 0:
+        break
+      b = mjm.body_parentid[b]
+
+  # cdof_dot pre-velocity masks (mj_comVel convention, verified vs oracle):
+  #  * hinge/slide dof j: all dofs on the path before j (ancestors + earlier
+  #    dofs of the same body);
+  #  * ball dofs: the path BEFORE the ball joint (not its own rot dofs);
+  #  * free rotations: translations of the same free joint only (the free
+  #    joint is always at a kinematic root);
+  #  * free translations: cdof_dot = 0.
+  dpm = np.zeros((nv, nv), dtype=np.float64)
+  dcz = np.zeros(nv, dtype=np.float64)
+  for j in range(mjm.njnt):
+    t, da = int(mjm.jnt_type[j]), int(mjm.jnt_dofadr[j])
+    b = int(mjm.jnt_bodyid[j])
+    # dofs on path to b excluding this joint's own dofs and later joints:
+    path = np.where(bdm[b] > 0)[0]
+    if t == FREE:
+      for k in range(3):
+        dcz[da + k] = 1.0
+      for k in range(3, 6):
+        dpm[da + k, da:da + 3] = 1.0
+    elif t == BALL:
+      before = path[path < da]
+      for k in range(3):
+        dpm[da + k, before] = 1.0
+    else:
+      before = path[path < da]
+      dpm[da, before] = 1.0
 
   def dev(x):
     return jnp.asarray(x, dtype=dtype)
@@ -366,6 +434,15 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       actuator_actnum=_np(mjm.actuator_actnum),
       dof_ancestor_mask=anc,
       body_dof_mask=bdm,
+      scalar_qadr=np.array(scalar_q, dtype=np.int32),
+      scalar_dadr=np.array(scalar_d, dtype=np.int32),
+      ball_qadr=np.array(ball_q, dtype=np.int32),
+      ball_dadr=np.array(ball_d, dtype=np.int32),
+      free_qadr=np.array(free_q, dtype=np.int32),
+      free_dadr=np.array(free_d, dtype=np.int32),
+      subtree_mask=stm,
+      dof_pred_mask=dpm,
+      dof_cdofdot_zero=dcz,
       collision_pairs=None,
       names=names,
       opt=opt,

@@ -46,17 +46,15 @@ DSBL_ACTUATION = 1024
 
 
 def crb(m: Model, d: Data) -> Data:
-  """Composite-rigid-body: dense joint-space mass matrix qM."""
+  """Composite-rigid-body: dense joint-space mass matrix qM.
+
+  Composite inertias via one subtree-mask matmul; qM = masked F @ cdof^T.
+  """
   dtype = d.qpos.dtype
   nb, nv = m.nbody, m.nv
 
-  # backward accumulation of composite inertia
-  crb_i = [d.cinert[i] for i in range(nb)]
-  for i in range(nb - 1, 0, -1):
-    pid = int(m.body_parentid[i])
-    if pid > 0:
-      crb_i[pid] = crb_i[pid] + crb_i[i]
-  crb_arr = jnp.stack(crb_i) if nb else jnp.zeros((0, 10), dtype)
+  stm = jnp.asarray(m.subtree_mask, dtype)
+  crb_arr = stm @ d.cinert  # (nb, 10)
 
   # F[i] = I^crb_{body(i)} * cdof_i ; M = mask(F @ cdof^T)
   f = mm.inert_mul(crb_arr[m.dof_bodyid], d.cdof)  # (nv, 6)
@@ -89,60 +87,32 @@ def rne(m: Model, d: Data) -> Data:
   else:
     gravity = m.opt.gravity
 
-  # forward pass: cacc (qacc = 0), gravity enters via world acceleration
-  cacc = [jnp.concatenate([jnp.zeros(3, dtype), -gravity])] + \
-      [jnp.zeros(6, dtype)] * (nb - 1)
-  for i in range(1, nb):
-    pid = int(m.body_parentid[i])
-    a = cacc[pid]
-    adr, num = int(m.body_dofadr[i]), int(m.body_dofnum[i])
-    for k in range(num):
-      a = a + d.cdof_dot[adr + k] * d.qvel[adr + k]
-    cacc[i] = a
+  # forward pass (vectorized): cacc[b] = cacc_world + sum over supporting
+  # dofs of cdof_dot * qvel — one body_dof_mask matmul
+  cacc_world = jnp.concatenate([jnp.zeros(3, dtype), -gravity])
+  bdm = jnp.asarray(m.body_dof_mask, dtype)
+  cacc = cacc_world[None, :] + bdm @ (d.cdof_dot * d.qvel[:, None])
 
-  # body forces: f = I a + v x* (I v)
-  cfrc = [jnp.zeros(6, dtype)] * nb
-  for i in range(1, nb):
-    iv = mm.inert_mul(d.cinert[i], d.cvel[i])
-    cfrc[i] = mm.inert_mul(d.cinert[i], cacc[i]) + mm.force_cross(
-        d.cvel[i], iv)
+  # body forces: f = I a + v x* (I v), batched over bodies
+  iv = mm.inert_mul(d.cinert, d.cvel)
+  cfrc = mm.inert_mul(d.cinert, cacc) + mm.force_cross(d.cvel, iv)
+  cfrc = cfrc.at[0].set(jnp.zeros(6, dtype))
 
-  # backward accumulation
-  for i in range(nb - 1, 0, -1):
-    pid = int(m.body_parentid[i])
-    if pid > 0:
-      cfrc[pid] = cfrc[pid] + cfrc[i]
-
-  cfrc_arr = jnp.stack(cfrc)
-  qfrc_bias = jnp.sum(d.cdof * cfrc_arr[m.dof_bodyid], axis=-1)
+  # backward accumulation as subtree-mask matmul
+  stm = jnp.asarray(m.subtree_mask, dtype)
+  cfrc_tot = stm @ cfrc
+  qfrc_bias = jnp.sum(d.cdof * cfrc_tot[m.dof_bodyid], axis=-1)
   return d.replace(qfrc_bias=qfrc_bias)
 
 
 def _spring_force(m: Model, d: Data) -> jax.Array:
-  """Joint spring torque: -stiffness * (qpos - qpos_spring)."""
-  dtype = d.qpos.dtype
-  qfrc = jnp.zeros(m.nv, dtype)
-  for j in range(m.njnt):
-    stiff = m.jnt_stiffness[j]
-    jtype = int(m.jnt_type[j])
-    qadr = int(m.jnt_qposadr[j])
-    dadr = int(m.jnt_dofadr[j])
-    if jtype in (HINGE, SLIDE):
-      f = -stiff * (d.qpos[qadr] - m.qpos_spring[qadr])
-      qfrc = qfrc.at[dadr].add(f)
-    elif jtype == BALL:
-      q = mm.normalize_quat(d.qpos[qadr:qadr + 4])
-      qs = m.qpos_spring[qadr:qadr + 4]
-      dif = mm.quat_sub(q, qs)
-      qfrc = qfrc.at[dadr:dadr + 3].add(-stiff * dif)
-    elif jtype == FREE:
-      dif = d.qpos[qadr:qadr + 3] - m.qpos_spring[qadr:qadr + 3]
-      qfrc = qfrc.at[dadr:dadr + 3].add(-stiff * dif)
-      q = mm.normalize_quat(d.qpos[qadr + 3:qadr + 7])
-      qs = m.qpos_spring[qadr + 3:qadr + 7]
-      difq = mm.quat_sub(q, qs)
-      qfrc = qfrc.at[dadr + 3:dadr + 6].add(-stiff * difq)
-  return qfrc
+  """Joint spring torque: -stiffness * (qpos - qpos_spring), vectorized:
+  springs act along the same tangent difference as qpos_diff."""
+  from mujoco_mpc_tpu.planners import derivatives as _deriv
+  dq = _deriv.qpos_diff(m, d.qpos, m.qpos_spring)  # (nv,)
+  # per-dof stiffness from the owning joint
+  stiff_dof = m.jnt_stiffness[m.dof_jntid]
+  return -stiff_dof * dq
 
 
 def _fluid_force(m: Model, d: Data) -> jax.Array:

@@ -40,25 +40,31 @@ def qpos_add(m: Model, qpos: jax.Array, dq: jax.Array) -> jax.Array:
 
 
 def qpos_diff(m: Model, qpos2: jax.Array, qpos1: jax.Array) -> jax.Array:
-  """Tangent difference dq s.t. qpos1 (+) dq ~= qpos2 (mj_differentiatePos)."""
+  """Tangent difference dq s.t. qpos1 (+) dq ~= qpos2 (mj_differentiatePos).
+
+  Vectorized per joint type (one block scatter each).
+  """
+  import numpy as np
   dtype = qpos1.dtype
   out = jnp.zeros(m.nv, dtype)
-  for j in range(m.njnt):
-    jtype = int(m.jnt_type[j])
-    qadr = int(m.jnt_qposadr[j])
-    dadr = int(m.jnt_dofadr[j])
-    if jtype in (HINGE, SLIDE):
-      out = out.at[dadr].set(qpos2[qadr] - qpos1[qadr])
-    elif jtype == BALL:
-      dq = mm.quat_sub(mm.normalize_quat(qpos2[qadr:qadr + 4]),
-                       mm.normalize_quat(qpos1[qadr:qadr + 4]))
-      out = out.at[dadr:dadr + 3].set(dq)
-    elif jtype == FREE:
-      out = out.at[dadr:dadr + 3].set(
-          qpos2[qadr:qadr + 3] - qpos1[qadr:qadr + 3])
-      dq = mm.quat_sub(mm.normalize_quat(qpos2[qadr + 3:qadr + 7]),
-                       mm.normalize_quat(qpos1[qadr + 3:qadr + 7]))
-      out = out.at[dadr + 3:dadr + 6].set(dq)
+  if len(m.scalar_qadr):
+    out = out.at[m.scalar_dadr].set(
+        qpos2[m.scalar_qadr] - qpos1[m.scalar_qadr])
+  if len(m.ball_qadr):
+    qidx = (m.ball_qadr[:, None] + np.arange(4)[None, :]).reshape(-1)
+    didx = (m.ball_dadr[:, None] + np.arange(3)[None, :]).reshape(-1)
+    dq = mm.quat_sub(mm.normalize_quat(qpos2[qidx].reshape(-1, 4)),
+                     mm.normalize_quat(qpos1[qidx].reshape(-1, 4)))
+    out = out.at[didx].set(dq.reshape(-1))
+  if len(m.free_qadr):
+    pidx = (m.free_qadr[:, None] + np.arange(3)[None, :]).reshape(-1)
+    vidx = (m.free_dadr[:, None] + np.arange(3)[None, :]).reshape(-1)
+    qidx = (m.free_qadr[:, None] + 3 + np.arange(4)[None, :]).reshape(-1)
+    widx = (m.free_dadr[:, None] + 3 + np.arange(3)[None, :]).reshape(-1)
+    out = out.at[vidx].set(qpos2[pidx] - qpos1[pidx])
+    dq = mm.quat_sub(mm.normalize_quat(qpos2[qidx].reshape(-1, 4)),
+                     mm.normalize_quat(qpos1[qidx].reshape(-1, 4)))
+    out = out.at[widx].set(dq.reshape(-1))
   return out
 
 
