@@ -1,0 +1,89 @@
+"""Python client for the filter service (reference python/mujoco_mpc/
+filter.py parity: spawn server subprocess, wrap all RPCs)."""
+
+from __future__ import annotations
+
+import atexit
+import os
+import socket
+import subprocess
+import sys
+from typing import Optional
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+import filter_pb2  # noqa: E402
+
+import grpc  # noqa: E402
+
+_RPCS = ["Init", "Reset", "Update", "State", "Covariance", "Noise"]
+
+
+class _Stub:
+
+  def __init__(self, channel):
+    for name in _RPCS:
+      resp_cls = getattr(filter_pb2, f"{name}Response")
+      setattr(self, name, channel.unary_unary(
+          f"/filter.StateEstimation/{name}",
+          request_serializer=lambda m: m.SerializeToString(),
+          response_deserializer=resp_cls.FromString))
+
+
+class Filter:
+  """Drop-in equivalent of mujoco_mpc.filter.Filter."""
+
+  def __init__(self, model_xml: str, server_addr: Optional[str] = None):
+    self._proc = None
+    if server_addr is None:
+      with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+      server_py = os.path.join(os.path.dirname(__file__),
+                               "filter_service.py")
+      env = dict(os.environ)
+      env.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(
+          os.path.dirname(__file__))))
+      self._proc = subprocess.Popen(
+          [sys.executable, server_py, "--mjpc_port", str(port)], env=env)
+      atexit.register(self.close)
+      server_addr = f"localhost:{port}"
+    self.channel = grpc.insecure_channel(server_addr)
+    grpc.channel_ready_future(self.channel).result(timeout=120)
+    self.stub = _Stub(self.channel)
+    self.stub.Init(filter_pb2.InitRequest(
+        model=filter_pb2.MjModel(xml=model_xml)), timeout=300)
+
+  def close(self):
+    if self._proc is not None:
+      self._proc.terminate()
+      self._proc = None
+
+  def reset(self):
+    self.stub.Reset(filter_pb2.ResetRequest())
+
+  def update(self, ctrl, sensor):
+    self.stub.Update(filter_pb2.UpdateRequest(
+        ctrl=np.asarray(ctrl).tolist(), sensor=np.asarray(sensor).tolist()))
+
+  def state(self, state=None) -> np.ndarray:
+    req = filter_pb2.StateRequest()
+    if state is not None:
+      req.state.state.extend(np.asarray(state).tolist())
+    return np.array(self.stub.State(req).state.state)
+
+  def covariance(self) -> np.ndarray:
+    resp = self.stub.Covariance(filter_pb2.CovarianceRequest())
+    n = resp.covariance.dimension
+    return np.array(resp.covariance.covariance).reshape(n, n)
+
+  def noise(self, process=None, sensor=None) -> dict:
+    req = filter_pb2.NoiseRequest()
+    if process is not None:
+      req.noise.process.extend(np.asarray(process).tolist())
+    if sensor is not None:
+      req.noise.sensor.extend(np.asarray(sensor).tolist())
+    resp = self.stub.Noise(req)
+    return {"process": np.array(resp.noise.process),
+            "sensor": np.array(resp.noise.sensor)}
