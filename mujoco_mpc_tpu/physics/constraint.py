@@ -114,7 +114,7 @@ def _point_jac(m: Model, d: Data, point: jax.Array,
   return jnp.swapaxes(jac * mask, 1, 2)  # (n, 3, nv)
 
 
-def _contact_rows(m: Model, d: Data, max_contacts: int = 24):
+def _contact_rows(m: Model, d: Data):
   """Pyramidal contact rows from the static candidate-contact set.
 
   TPU optimization: only the `max_contacts` deepest candidates are kept
@@ -126,6 +126,7 @@ def _contact_rows(m: Model, d: Data, max_contacts: int = 24):
   cp = m.collision_pairs
   if cp is None or cp.ncon == 0:
     return None, None
+  max_contacts = m.opt.max_contact_points
   dtype = d.qpos.dtype
   dist, pos, n = coll.collide(m, d)
   frame = coll.make_contact_frame(n)  # (ncand, 3, 3)
@@ -192,13 +193,133 @@ def _contact_rows(m: Model, d: Data, max_contacts: int = 24):
   return contact, out
 
 
+def _point_jac_single(m: Model, d: Data, point: jax.Array, bodyid: int):
+  """Translational Jacobian (3, nv) of one world point on a static body."""
+  dtype = d.qpos.dtype
+  ref = d.subtree_com[int(m.body_rootid[bodyid])]
+  offset = point[None, :] - ref[None, :]
+  jac = d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], offset)
+  mask = jnp.asarray(m.body_dof_mask[bodyid], dtype)
+  return (jac * mask[:, None]).T
+
+
+def _rot_jac_single(m: Model, d: Data, bodyid: int):
+  """Rotational Jacobian (3, nv) of a static body."""
+  dtype = d.qpos.dtype
+  mask = jnp.asarray(m.body_dof_mask[bodyid], dtype)
+  return (d.cdof[:, :3] * mask[:, None]).T
+
+
+def _equality_rows(m: Model, d: Data):
+  """Equality constraint rows (mjEQ_CONNECT/WELD/JOINT; mj_makeConstraint).
+
+  Always active (two-sided quadratic penalty in the solver).
+  """
+  if m.neq == 0:
+    return None
+  from mujoco_mpc_tpu.physics import math as _mm
+  dtype = d.qpos.dtype
+  js, poss, refs, imps, diags = [], [], [], [], []
+  EQ_CONNECT, EQ_WELD, EQ_JOINT = 0, 1, 2
+  for e in range(m.neq):
+    etype = int(m.eq_type[e])
+    o1, o2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
+    data = m.eq_data[e]
+    solref, solimp = m.eq_solref[e], m.eq_solimp[e]
+    if etype == EQ_CONNECT:
+      anchor1 = data[0:3]
+      anchor2 = data[3:6]
+      p1 = d.xpos[o1] + d.xmat[o1] @ anchor1
+      p2 = d.xpos[o2] + d.xmat[o2] @ anchor2
+      pos = p1 - p2  # (3,)
+      jac = _point_jac_single(m, d, p1, o1) - \
+          _point_jac_single(m, d, p2, o2)
+      iw = m.body_invweight0[o1, 0] + m.body_invweight0[o2, 0]
+      for k in range(3):
+        js.append(jac[k])
+        poss.append(pos[k])
+        refs.append(solref)
+        imps.append(solimp)
+        diags.append(iw)
+    elif etype == EQ_WELD:
+      anchor1 = data[0:3]
+      anchor2 = data[3:6]
+      relpose_quat = data[6:10]
+      torquescale = data[10]
+      p1 = d.xpos[o1] + d.xmat[o1] @ anchor2  # note: weld anchors per spec
+      p2 = d.xpos[o2] + d.xmat[o2] @ anchor1
+      pos = p1 - p2
+      jac = _point_jac_single(m, d, p1, o1) - \
+          _point_jac_single(m, d, p2, o2)
+      # orientation: quat difference q1^-1 * q2 * relpose vs identity
+      q1, q2 = d.xquat[o1], d.xquat[o2]
+      qtarget = _mm.mul_quat(q2, _mm.normalize_quat(relpose_quat))
+      rot_err = _mm.quat_sub(q1, qtarget) * torquescale
+      rjac = (_rot_jac_single(m, d, o1) -
+              _rot_jac_single(m, d, o2)) * torquescale
+      iw_t = m.body_invweight0[o1, 0] + m.body_invweight0[o2, 0]
+      iw_r = m.body_invweight0[o1, 1] + m.body_invweight0[o2, 1]
+      for k in range(3):
+        js.append(jac[k])
+        poss.append(pos[k])
+        refs.append(solref)
+        imps.append(solimp)
+        diags.append(iw_t)
+      for k in range(3):
+        js.append(rjac[k])
+        poss.append(rot_err[k])
+        refs.append(solref)
+        imps.append(solimp)
+        diags.append(iw_r)
+    elif etype == EQ_JOINT:
+      # q1 - q1_0 = poly(q2 - q2_0); single scalar row
+      qadr1 = int(m.jnt_qposadr[o1])
+      dadr1 = int(m.jnt_dofadr[o1])
+      poly = data[0:5]
+      if o2 >= 0:
+        qadr2 = int(m.jnt_qposadr[o2])
+        dadr2 = int(m.jnt_dofadr[o2])
+        dif = d.qpos[qadr2] - m.qpos0[qadr2]
+        pval = poly[0] + dif * (poly[1] + dif * (
+            poly[2] + dif * (poly[3] + dif * poly[4])))
+        dval = poly[1] + dif * (2 * poly[2] + dif * (
+            3 * poly[3] + dif * 4 * poly[4]))
+        pos = d.qpos[qadr1] - m.qpos0[qadr1] - pval
+        row = jnp.zeros(m.nv, dtype).at[dadr1].set(1.0).at[dadr2].set(-dval)
+        iw = m.dof_invweight0[dadr1] + m.dof_invweight0[dadr2]
+      else:
+        pos = d.qpos[qadr1] - m.qpos0[qadr1] - poly[0]
+        row = jnp.zeros(m.nv, dtype).at[dadr1].set(1.0)
+        iw = m.dof_invweight0[dadr1]
+      js.append(row)
+      poss.append(pos)
+      refs.append(solref)
+      imps.append(solimp)
+      diags.append(iw)
+  if not js:
+    return None
+  return (jnp.stack(js), jnp.stack(poss), jnp.stack(refs),
+          jnp.stack(imps), jnp.stack([jnp.asarray(x, dtype)
+                                      for x in diags]))
+
+
 def make_constraint(m: Model, d: Data) -> Data:
   """Assemble fixed-size efc_{J, D, aref, pos} (positions stage)."""
   dtype = d.qpos.dtype
+  eq = _equality_rows(m, d)
   lim = _limit_rows(m, d)
   contact, con = _contact_rows(m, d)
 
-  js, poss, refs, imps, gates, diags = [], [], [], [], [], []
+  js, poss, refs, imps, gates, diags, eqs = [], [], [], [], [], [], []
+  if eq is not None:
+    ej, ep, er, ei, ed = eq
+    js.append(ej)
+    poss.append(ep)
+    refs.append(er)
+    imps.append(ei)
+    gates.append(jnp.full(ep.shape, -1.0, dtype))  # always active
+    diags.append(ed)
+    eqs.append(jnp.ones(ep.shape, dtype))
   if lim is not None:
     lj, lp, lr, li, ld = lim
     js.append(lj)
@@ -207,6 +328,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     imps.append(li)
     gates.append(lp)  # limit active iff pos < 0
     diags.append(ld)
+    eqs.append(jnp.zeros(lp.shape, dtype))
   if con is not None:
     cj, cpos, cr, ci, cg, cd = con
     js.append(cj)
@@ -215,6 +337,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     imps.append(ci)
     gates.append(cg)
     diags.append(cd)
+    eqs.append(jnp.zeros(cpos.shape, dtype))
 
   if not js:
     z = jnp.zeros((0,), dtype)
@@ -223,7 +346,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     return d.replace(
         contact=contact, efc_J=jnp.zeros((0, m.nv), dtype), efc_pos=z,
         efc_solref=z2, efc_solimp=z5, efc_diag=z, efc_gate=z, efc_D=z,
-        efc_aref=z)
+        efc_aref=z, efc_eq=z)
 
   return d.replace(
       contact=contact,
@@ -232,7 +355,8 @@ def make_constraint(m: Model, d: Data) -> Data:
       efc_solref=jnp.concatenate(refs),
       efc_solimp=jnp.concatenate(imps),
       efc_gate=jnp.concatenate(gates),
-      efc_diag=jnp.concatenate(diags))
+      efc_diag=jnp.concatenate(diags),
+      efc_eq=jnp.concatenate(eqs))
 
 
 def reference_constraint(m: Model, d: Data) -> Data:
@@ -267,9 +391,11 @@ def solve(m: Model, d: Data) -> Data:
   aref = d.efc_aref
   a0 = d.qacc_smooth
 
+  eq_mask = d.efc_eq if d.efc_eq is not None else jnp.zeros_like(dvec)
+
   def cost_terms(a):
     jar = j @ a - aref
-    active = (jar < 0).astype(dtype) * dvec
+    active = jnp.maximum((jar < 0).astype(dtype), eq_mask) * dvec
     return jar, active
 
   def newton_step(a):
@@ -289,7 +415,7 @@ def solve(m: Model, d: Data) -> Data:
 
     def ls_body(_, t):
       jart = jar + t * jp
-      act = (jart < 0).astype(dtype) * dvec
+      act = jnp.maximum((jart < 0).astype(dtype), eq_mask) * dvec
       dphi = pma + t * pmp + jnp.sum(act * jart * jp)
       ddphi = pmp + jnp.sum(act * jp * jp)
       return t - dphi / jnp.maximum(ddphi, _MINVAL)

@@ -93,6 +93,9 @@ class Option:
   # fixed-iteration Newton constraint solver (TPU: static trip counts)
   iterations: int = struct.field(pytree_node=False, default=6)
   ls_iterations: int = struct.field(pytree_node=False, default=4)
+  # static cap on simultaneous contacts (top-k deepest kept); settable per
+  # model via the `max_contact_points` custom numeric
+  max_contact_points: int = struct.field(pytree_node=False, default=32)
   tolerance: float = struct.field(pytree_node=False, default=1e-8)
   disableflags: int = struct.field(pytree_node=False, default=0)
 
@@ -163,6 +166,11 @@ class Model:
   # dof_cdofdot_zero[j] = 1 if cdof_dot of dof j is identically zero
   # (free-joint translations)
   dof_cdofdot_zero: np.ndarray = struct.field(pytree_node=False, default=None)
+  # equality constraints (static metadata)
+  neq: int = struct.field(pytree_node=False, default=0)
+  eq_type: np.ndarray = struct.field(pytree_node=False, default=None)
+  eq_obj1id: np.ndarray = struct.field(pytree_node=False, default=None)
+  eq_obj2id: np.ndarray = struct.field(pytree_node=False, default=None)
   # precomputed static collision pairs, grouped by type pair (see collision.py)
   collision_pairs: Any = struct.field(pytree_node=False, default=None)
   # name maps (host-side convenience)
@@ -211,6 +219,9 @@ class Model:
   actuator_actrange: jax.Array = None
   actuator_gear: jax.Array = None
   actuator_acc0: jax.Array = None
+  eq_data: jax.Array = None
+  eq_solref: jax.Array = None
+  eq_solimp: jax.Array = None
 
 
 @struct.dataclass
@@ -284,6 +295,7 @@ class Data:
   efc_solimp: jax.Array = None  # (nefc, 5)
   efc_diag: jax.Array = None    # (nefc,) diag approx of J M^-1 J^T
   efc_gate: jax.Array = None    # (nefc,) row exists iff gate < 0
+  efc_eq: jax.Array = None      # (nefc,) 1 for equality rows (two-sided)
   efc_D: jax.Array = None       # (nefc,)
   efc_aref: jax.Array = None    # (nefc,)
   efc_force: jax.Array = None
@@ -370,6 +382,12 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
   def dev(x):
     return jnp.asarray(x, dtype=dtype)
 
+  # optional per-model contact cap
+  max_contacts = 32
+  for i in range(mjm.nnumeric):
+    if mjm.numeric(i).name == "max_contact_points":
+      max_contacts = int(mjm.numeric_data[mjm.numeric_adr[i]])
+
   opt = Option(
       timestep=dev(mjm.opt.timestep),
       gravity=dev(mjm.opt.gravity),
@@ -382,6 +400,7 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       # handful of iterations on robotics-scale systems
       iterations=min(int(mjm.opt.iterations), 6),
       ls_iterations=min(int(mjm.opt.ls_iterations), 4),
+      max_contact_points=max_contacts,
       tolerance=float(mjm.opt.tolerance),
       disableflags=int(mjm.opt.disableflags),
   )
@@ -432,6 +451,10 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       actuator_forcelimited=_np(mjm.actuator_forcelimited),
       actuator_actadr=_np(mjm.actuator_actadr),
       actuator_actnum=_np(mjm.actuator_actnum),
+      neq=int(mjm.neq),
+      eq_type=_np(mjm.eq_type),
+      eq_obj1id=_np(mjm.eq_obj1id),
+      eq_obj2id=_np(mjm.eq_obj2id),
       dof_ancestor_mask=anc,
       body_dof_mask=bdm,
       scalar_qadr=np.array(scalar_q, dtype=np.int32),
@@ -487,6 +510,9 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       actuator_actrange=dev(mjm.actuator_actrange),
       actuator_gear=dev(mjm.actuator_gear),
       actuator_acc0=dev(mjm.actuator_acc0),
+      eq_data=dev(mjm.eq_data),
+      eq_solref=dev(mjm.eq_solref),
+      eq_solimp=dev(mjm.eq_solimp),
   )
   # precompute static collision pair list (host-side)
   pairs = _collision.make_collision_pairs(mjm)

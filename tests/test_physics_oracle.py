@@ -173,3 +173,32 @@ def test_ball_settles_on_floor():
   z = float(d.qpos[2])
   assert 0.05 < z < 0.15, f"ball resting height {z}"
   assert float(jnp.linalg.norm(d.qvel)) < 0.5
+
+
+def test_equality_connect_tracks_mujoco():
+  """Two free bodies welded by a connect equality: oracle comparison."""
+  from mujoco_mpc_tpu.physics import forward as F
+  xml = """
+  <mujoco><option timestep="0.002"/>
+    <worldbody>
+      <body name="a" pos="0 0 1"><freejoint/>
+        <geom type="sphere" size="0.05" mass="1"
+              contype="0" conaffinity="0"/></body>
+      <body name="b" pos="0.2 0 1"><freejoint/>
+        <geom type="sphere" size="0.05" mass="0.5"
+              contype="0" conaffinity="0"/></body>
+    </worldbody>
+    <equality><connect body1="a" body2="b" anchor="0.1 0 0"/></equality>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+  d = M.make_data(m)
+  mjd.qvel[3:6] = [0.0, 2.0, 0.0]  # spin body a
+  d = d.replace(qvel=jnp.asarray(mjd.qvel))
+  step = jax.jit(lambda d: F.step(m, d))
+  for t in range(150):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  # connected bodies must stay joined at the anchor in both sims
+  np.testing.assert_allclose(d.qpos, mjd.qpos, atol=0.03)
