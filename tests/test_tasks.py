@@ -70,3 +70,18 @@ def test_cem_cartpole_improves():
     rets.append(float(info["best_return"]))
   assert rets[-1] < rets[0]
   assert all(np.isfinite(rets))
+
+
+def test_all_registered_tasks_load_and_step():
+  """Every registered task: model loads, steps finite, residual dims match
+  the cost spec (reference task registry test pattern, task_test.cc)."""
+  for name in registry.task_names():
+    task = registry.get_task(name)
+    d = task.make_data()
+    d = jax.jit(lambda d: F.step(task.model, d))(d)
+    df = F.forward(task.model, d)
+    r = task.residual(task.model, df, task.residual_params)
+    assert r.shape[0] == task.cost_spec.num_residual, name
+    assert bool(jnp.all(jnp.isfinite(r))), name
+    c = task.cost(r)
+    assert bool(jnp.isfinite(c)), name
