@@ -59,11 +59,21 @@ class DirectSettings:
 
 
 class Direct:
-  """Host wrapper around the jitted batch Gauss-Newton solve."""
+  """Host wrapper around the jitted batch Gauss-Newton solve.
+
+  Optional model-parameter estimation (reference: direct's nparam dense
+  rows + pluggable model_parameters.{h,cc}): pass `param_update`, a
+  function (Model, theta) -> Model applying an nparam-vector of parameters
+  (e.g. scaling dof damping or body masses); theta joins the decision
+  variables and is returned by optimize() as `self.parameters`.
+  """
 
   def __init__(self, task_or_model, horizon: int,
                sensor_fn: Optional[Callable] = None,
                settings: Optional[DirectSettings] = None,
+               param_update: Optional[Callable] = None,
+               nparam: int = 0,
+               param_initial=None,
                dtype=jnp.float32):
     # accept a Task (has .model/.mjm) or a bare Model + explicit sensor_fn
     if hasattr(task_or_model, "model"):
@@ -80,11 +90,15 @@ class Direct:
     self.horizon = horizon
     self.settings = settings or DirectSettings()
     self.dtype = dtype
+    self.param_update = param_update
+    self.nparam = nparam if param_update is not None else 0
+    self.param_initial = (np.zeros(self.nparam) if param_initial is None
+                          else np.asarray(param_initial))
 
     d_probe = self._template
     self.ns = int(self.sensor_fn(self.m, d_probe).shape[0])
     nv = self.m.nv
-    self.nvar = horizon * nv
+    self.nvar = horizon * nv + self.nparam
 
     # measured data (host-set)
     self.sensor_measured = np.zeros((horizon, self.ns))
@@ -101,14 +115,17 @@ class Direct:
 
   # -- core ------------------------------------------------------------------
 
-  def _residuals(self, qs, sensor_meas, force_meas, w_sensor, w_force):
+  def _residuals(self, qs, theta, sensor_meas, force_meas, w_sensor,
+                 w_force):
     """Stacked weighted residuals over the horizon.
 
-    qs: (T, nq). Velocity/acceleration by configuration FD
-    (docs/DIRECT.md): v_t = (q_t - q_{t-1})/h, a_t = (v_{t+1} - v_t)/h.
+    qs: (T, nq), theta: (nparam,). Velocity/acceleration by configuration
+    FD (docs/DIRECT.md): v_t = (q_t - q_{t-1})/h, a_t = (v_{t+1} - v_t)/h.
     Sensor residuals at t = 1..T-2 (need v, a); force residuals likewise.
     """
     m = self.m
+    if self.param_update is not None:
+      m = self.param_update(m, theta)
     h = m.opt.timestep
     t_hor = self.horizon
 
@@ -146,24 +163,30 @@ class Direct:
     nv = m.nv
     t_hor = self.horizon
     st = self.settings
+    nparam = self.nparam
 
     def qs_from_tangent(q0s, dz):
-      dzs = dz.reshape(t_hor, nv)
+      dzs = dz[:t_hor * nv].reshape(t_hor, nv)
       return jax.vmap(lambda q, dq: deriv.qpos_add(m, q, dq))(q0s, dzs)
 
-    def solve(q_init, sensor_meas, force_meas, w_sensor, w_force):
+    def theta_of(theta0, dz):
+      return theta0 + dz[t_hor * nv:]
+
+    def solve(q_init, theta0, sensor_meas, force_meas, w_sensor, w_force):
       def cost_of(dz):
-        r = self._residuals(qs_from_tangent(q_init, dz), sensor_meas,
+        r = self._residuals(qs_from_tangent(q_init, dz),
+                            theta_of(theta0, dz), sensor_meas,
                             force_meas, w_sensor, w_force)
         return 0.5 * jnp.sum(r * r)
 
       def gn_step(carry):
         dz, cost, reg, it, status = carry
-        r = self._residuals(qs_from_tangent(q_init, dz), sensor_meas,
+        r = self._residuals(qs_from_tangent(q_init, dz),
+                            theta_of(theta0, dz), sensor_meas,
                             force_meas, w_sensor, w_force)
         jac = jax.jacfwd(lambda z: self._residuals(
-            qs_from_tangent(q_init, z), sensor_meas, force_meas, w_sensor,
-            w_force))(dz)
+            qs_from_tangent(q_init, z), theta_of(theta0, z), sensor_meas,
+            force_meas, w_sensor, w_force))(dz)
         grad = jac.T @ r
         hess = jac.T @ jac + reg * jnp.eye(self.nvar, dtype=self.dtype)
         chol = jnp.linalg.cholesky(hess)
@@ -208,7 +231,8 @@ class Direct:
       status = jnp.where(
           (status == Status.UNSOLVED) & (it >= st.max_iterations),
           Status.MAX_ITERATIONS_FAILURE, status)
-      return qs_from_tangent(q_init, dz), cost, cost0, it, status
+      return (qs_from_tangent(q_init, dz), theta_of(theta0, dz), cost,
+              cost0, it, status)
 
     return solve
 
@@ -229,13 +253,15 @@ class Direct:
       self.weight_force = np.asarray(force) * np.ones(self.m.nv)
 
   def optimize(self):
-    qs, cost, cost0, it, status = self._solve(
+    qs, theta, cost, cost0, it, status = self._solve(
         jnp.asarray(self.qpos_initial, self.dtype),
+        jnp.asarray(self.param_initial, self.dtype),
         jnp.asarray(self.sensor_measured, self.dtype),
         jnp.asarray(self.force_measured, self.dtype),
         jnp.asarray(self.weight_sensor, self.dtype),
         jnp.asarray(self.weight_force, self.dtype))
     self.qpos_optimized = np.asarray(qs)
+    self.parameters = np.asarray(theta)
     self.cost = float(cost)
     self.cost_initial = float(cost0)
     self.iterations = int(it)
