@@ -39,6 +39,9 @@ class SamplingConfig:
                              default=spline_lib.Interpolation.ZERO)
   exploration: jax.Array = None   # (2,) noise stds
   horizon: int = struct.field(pytree_node=False, default=100)
+  # sliding plan keeps committed future nodes instead of re-interpolating
+  # (reference `sampling_sliding_plan`, sampling/planner.cc:244-281)
+  sliding_plan: bool = struct.field(pytree_node=False, default=False)
 
 
 def make_config(task, dtype=jnp.float32) -> SamplingConfig:
@@ -55,6 +58,7 @@ def make_config(task, dtype=jnp.float32) -> SamplingConfig:
       exploration=jnp.asarray(
           [task.config("sampling_exploration", 0.1), 0.0], dtype),
       horizon=steps,
+      sliding_plan=bool(task.config("sampling_sliding_plan", 0)),
   )
 
 
@@ -112,8 +116,11 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: SamplingConfig,
   def optimize(key, d0, policy: spline_lib.SplinePolicy):
     dtype = policy.values.dtype
     horizon_time = (horizon - 1) * m.opt.timestep
-    # resample nominal onto the current window
-    policy = spline_lib.resample(policy, d0.time, horizon_time)
+    # resample nominal onto the current window (or slide it forward)
+    if config.sliding_plan:
+      policy = spline_lib.slide(policy, d0.time)
+    else:
+      policy = spline_lib.resample(policy, d0.time, horizon_time)
 
     # candidates: nominal + noisy
     noisy = add_noise(key, policy.values, m, config.exploration, k_noise)

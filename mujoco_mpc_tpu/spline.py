@@ -128,3 +128,23 @@ def fit(actions: jax.Array, times: jax.Array, t0, dt, num_nodes: int,
   a = m.T @ m + 1e-6 * jnp.eye(num_nodes, dtype=actions.dtype)
   b = m.T @ actions
   return jnp.linalg.solve(a, b)
+
+
+def slide(policy: SplinePolicy, new_t0: jax.Array) -> SplinePolicy:
+  """Sliding-plan update (fixed-shape DiscardBefore, spline.cc:164-189).
+
+  Advances the node grid by whole nodes so that committed future nodes are
+  PRESERVED (not re-interpolated, unlike `resample`): nodes whose time has
+  passed are discarded, values roll left, and the freed tail nodes repeat
+  the last value (reference UpdateNominalPolicy sliding branch,
+  sampling/planner.cc:244-281).
+  """
+  p = policy.num_nodes
+  k = jnp.clip(
+      jnp.floor((new_t0 - policy.t0) / jnp.maximum(policy.dt, 1e-10)),
+      0.0, p - 1.0).astype(jnp.int32)
+  idx = jnp.minimum(jnp.arange(p) + k, p - 1)
+  values = policy.values[..., idx, :]
+  return policy.replace(
+      t0=policy.t0 + k.astype(policy.values.dtype) * policy.dt,
+      values=values)

@@ -69,3 +69,18 @@ def test_cartpole_swingup():
       f"pole not upright: mean |cos-1| tail = {np.mean(np.abs(vertical))}"
   # cost decreased substantially from the start
   assert np.mean(costs[-50:]) < 0.5 * np.mean(costs[:50])
+
+
+def test_sliding_plan_preserves_future_nodes():
+  from mujoco_mpc_tpu import spline
+  pol = spline.SplinePolicy(
+      t0=jnp.zeros(()), dt=jnp.asarray(0.1),
+      values=jnp.arange(12.0).reshape(6, 2),
+      interp=spline.Interpolation.ZERO)
+  slid = spline.slide(pol, jnp.asarray(0.25))  # advance 2 whole nodes
+  np.testing.assert_allclose(float(slid.t0), 0.2, atol=1e-6)
+  # nodes 2..5 preserved, tail repeats last
+  np.testing.assert_allclose(
+      slid.values,
+      jnp.asarray([[4, 5], [6, 7], [8, 9], [10, 11], [10, 11], [10, 11]],
+                  jnp.float32))
