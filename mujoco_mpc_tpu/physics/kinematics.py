@@ -20,60 +20,71 @@ from mujoco_mpc_tpu.physics.model import (BALL, FREE, HINGE, SLIDE, Data,
 
 
 def kinematics(m: Model, d: Data) -> Data:
-  """Body/geom/site frames from qpos (mj_kinematics semantics)."""
+  """Body/geom/site frames from qpos (mj_kinematics semantics).
+
+  Level-batched: bodies at the same tree depth with the same joint
+  signature are processed in one vectorized group (a handful of batched
+  quaternion ops per group instead of per-body unrolling).
+  """
   dtype = d.qpos.dtype
   nb = m.nbody
 
-  xpos = [jnp.zeros(3, dtype)] * nb
-  xquat = [jnp.array([1.0, 0, 0, 0], dtype)] * nb
-  xanchor = [jnp.zeros(3, dtype)] * m.njnt
-  xaxis = [jnp.zeros(3, dtype)] * m.njnt
+  xpos = jnp.zeros((nb, 3), dtype)
+  xquat = jnp.zeros((nb, 4), dtype).at[:, 0].set(1.0)
+  xanchor = jnp.zeros((max(m.njnt, 1), 3), dtype)
+  xaxis = jnp.zeros((max(m.njnt, 1), 3), dtype)
 
-  for i in range(1, nb):
-    pid = int(m.body_parentid[i])
-    # mocap body: frame comes from mocap inputs
-    mocapid = int(m.body_mocapid[i])
-    if mocapid >= 0:
-      xpos[i] = d.mocap_pos[mocapid]
-      xquat[i] = mm.normalize_quat(d.mocap_quat[mocapid])
+  # mocap bodies (all at level 1 under world in practice; handled globally)
+  mocap_bodies = np.where(m.body_mocapid >= 0)[0]
+  if len(mocap_bodies):
+    mid = m.body_mocapid[mocap_bodies]
+    xpos = xpos.at[mocap_bodies].set(d.mocap_pos[mid])
+    xquat = xquat.at[mocap_bodies].set(
+        mm.normalize_quat(d.mocap_quat[mid]))
+
+  for sig, bids in m.fk_groups:
+    # skip mocap bodies (already placed)
+    bids = np.array([b for b in bids if m.body_mocapid[b] < 0])
+    if len(bids) == 0:
       continue
+    pid = m.body_parentid[bids]
+    pos = xpos[pid] + mm.rot_vec_quat(xquat[pid], m.body_pos[bids])
+    quat = mm.mul_quat(xquat[pid], m.body_quat[bids])
 
-    pos = xpos[pid] + mm.rot_vec_quat(xquat[pid], m.body_pos[i])
-    quat = mm.mul_quat(xquat[pid], m.body_quat[i])
-
-    jntadr = int(m.body_jntadr[i])
-    for k in range(int(m.body_jntnum[i])):
-      j = jntadr + k
-      jtype = int(m.jnt_type[j])
-      qadr = int(m.jnt_qposadr[j])
-      anchor = mm.rot_vec_quat(quat, m.jnt_pos[j]) + pos
-      axis = mm.rot_vec_quat(quat, m.jnt_axis[j])
+    for k, jtype in enumerate(sig):
+      j = m.body_jntadr[bids] + k               # (g,) joint ids
+      qadr = m.jnt_qposadr[j]
+      jpos = m.jnt_pos[j]
+      jaxis = m.jnt_axis[j]
+      anchor = mm.rot_vec_quat(quat, jpos) + pos
+      axis = mm.rot_vec_quat(quat, jaxis)
       if jtype == FREE:
-        pos = d.qpos[qadr:qadr + 3]
-        quat = mm.normalize_quat(d.qpos[qadr + 3:qadr + 7])
+        qidx = qadr[:, None] + np.arange(7)[None]
+        qfree = d.qpos[qidx]                    # (g, 7)
+        pos = qfree[:, 0:3]
+        quat = mm.normalize_quat(qfree[:, 3:7])
         anchor = pos
-        axis = m.jnt_axis[j]  # global z for free joints (not rotated)
+        axis = jaxis                            # global z, not rotated
       elif jtype == BALL:
-        qloc = mm.normalize_quat(d.qpos[qadr:qadr + 4])
+        qidx = qadr[:, None] + np.arange(4)[None]
+        qloc = mm.normalize_quat(d.qpos[qidx])
         quat = mm.mul_quat(quat, qloc)
-        pos = anchor - mm.rot_vec_quat(quat, m.jnt_pos[j])
+        pos = anchor - mm.rot_vec_quat(quat, jpos)
       elif jtype == SLIDE:
-        pos = pos + axis * (d.qpos[qadr] - m.qpos0[qadr])
+        pos = pos + axis * (d.qpos[qadr] - m.qpos0[qadr])[:, None]
       elif jtype == HINGE:
         angle = d.qpos[qadr] - m.qpos0[qadr]
-        qloc = mm.axis_angle_to_quat(m.jnt_axis[j], angle)
+        qloc = mm.axis_angle_to_quat(jaxis, angle)
         quat = mm.mul_quat(quat, qloc)
-        pos = anchor - mm.rot_vec_quat(quat, m.jnt_pos[j])
-      xanchor[j] = anchor
-      xaxis[j] = axis
-    xpos[i] = pos
-    xquat[i] = mm.normalize_quat(quat)
+        pos = anchor - mm.rot_vec_quat(quat, jpos)
+      xanchor = xanchor.at[j].set(anchor)
+      xaxis = xaxis.at[j].set(axis)
+    xpos = xpos.at[bids].set(pos)
+    xquat = xquat.at[bids].set(mm.normalize_quat(quat))
 
-  xpos = jnp.stack(xpos)
-  xquat = jnp.stack(xquat)
   xmat = mm.quat_to_mat(xquat)
-  xanchor = jnp.stack(xanchor) if m.njnt else jnp.zeros((0, 3), dtype)
-  xaxis = jnp.stack(xaxis) if m.njnt else jnp.zeros((0, 3), dtype)
+  xanchor = xanchor[:m.njnt] if m.njnt else jnp.zeros((0, 3), dtype)
+  xaxis = xaxis[:m.njnt] if m.njnt else jnp.zeros((0, 3), dtype)
 
   # inertial frames
   xipos = xpos + mm.rot_vec_quat(xquat, m.body_ipos)

@@ -166,6 +166,9 @@ class Model:
   # dof_cdofdot_zero[j] = 1 if cdof_dot of dof j is identically zero
   # (free-joint translations)
   dof_cdofdot_zero: np.ndarray = struct.field(pytree_node=False, default=None)
+  # FK level-batching: tuple of (signature, body_id_array) groups ordered by
+  # tree depth; signature = tuple of joint types of each body in the group
+  fk_groups: Any = struct.field(pytree_node=False, default=None)
   # equality constraints (static metadata)
   neq: int = struct.field(pytree_node=False, default=0)
   eq_type: np.ndarray = struct.field(pytree_node=False, default=None)
@@ -382,6 +385,21 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
   def dev(x):
     return jnp.asarray(x, dtype=dtype)
 
+  # FK level groups: bodies at the same depth with the same joint signature
+  depth = np.zeros(mjm.nbody, dtype=np.int64)
+  for b in range(1, mjm.nbody):
+    depth[b] = depth[mjm.body_parentid[b]] + 1
+  fk_groups = []
+  for lev in range(1, int(depth.max()) + 1 if mjm.nbody > 1 else 1):
+    at_level = [b for b in range(1, mjm.nbody) if depth[b] == lev]
+    by_sig = {}
+    for b in at_level:
+      ja, jn = int(mjm.body_jntadr[b]), int(mjm.body_jntnum[b])
+      sig = tuple(int(mjm.jnt_type[ja + k]) for k in range(jn))
+      by_sig.setdefault(sig, []).append(b)
+    for sig, bids in sorted(by_sig.items()):
+      fk_groups.append((sig, np.array(bids, dtype=np.int64)))
+
   # optional per-model contact cap
   max_contacts = 32
   for i in range(mjm.nnumeric):
@@ -466,6 +484,7 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       subtree_mask=stm,
       dof_pred_mask=dpm,
       dof_cdofdot_zero=dcz,
+      fk_groups=tuple(fk_groups),
       collision_pairs=None,
       names=names,
       opt=opt,

@@ -209,35 +209,50 @@ def passive(m: Model, d: Data) -> Data:
 
 
 def transmission(m: Model, d: Data) -> tuple[jax.Array, jax.Array]:
-  """Actuator lengths and moment matrix (nu, nv). Joint + site transmissions."""
+  """Actuator lengths and moment matrix (nu, nv), vectorized per
+  transmission class (joint-scalar actuators — the common case — are a
+  single gather + static scatter)."""
+  import numpy as np
   dtype = d.qpos.dtype
-  lengths = []
-  moments = []
-  for u in range(m.nu):
+  nu, nv = m.nu, m.nv
+  if nu == 0:
+    return jnp.zeros((0,), dtype), jnp.zeros((0, nv), dtype)
+
+  lengths = jnp.zeros(nu, dtype)
+  moment = jnp.zeros((nu, nv), dtype)
+
+  # classify actuators (static)
+  scalar_u, scalar_qadr, scalar_dadr = [], [], []
+  other = []
+  for u in range(nu):
+    trntype = int(m.actuator_trntype[u])
+    tid = int(m.actuator_trnid[u, 0])
+    if trntype == TRN_JOINT and int(m.jnt_type[tid]) in (HINGE, SLIDE):
+      scalar_u.append(u)
+      scalar_qadr.append(int(m.jnt_qposadr[tid]))
+      scalar_dadr.append(int(m.jnt_dofadr[tid]))
+    else:
+      other.append(u)
+
+  if scalar_u:
+    su = np.array(scalar_u)
+    gear0 = m.actuator_gear[su, 0]
+    lengths = lengths.at[su].set(d.qpos[np.array(scalar_qadr)] * gear0)
+    moment = moment.at[su, np.array(scalar_dadr)].set(gear0)
+
+  for u in other:
     trntype = int(m.actuator_trntype[u])
     tid = int(m.actuator_trnid[u, 0])
     gear = m.actuator_gear[u]
-    moment = jnp.zeros(m.nv, dtype)
     if trntype == TRN_JOINT:
       jtype = int(m.jnt_type[tid])
-      qadr = int(m.jnt_qposadr[tid])
       dadr = int(m.jnt_dofadr[tid])
-      if jtype in (HINGE, SLIDE):
-        length = d.qpos[qadr] * gear[0]
-        moment = moment.at[dadr].set(gear[0])
-      elif jtype == FREE:
-        length = jnp.zeros((), dtype)
-        moment = moment.at[dadr:dadr + 3].set(gear[:3])
-        moment = moment.at[dadr + 3:dadr + 6].set(gear[3:6])
+      if jtype == FREE:
+        moment = moment.at[u, dadr:dadr + 6].set(gear[:6])
       elif jtype == BALL:
-        length = jnp.zeros((), dtype)
-        moment = moment.at[dadr:dadr + 3].set(gear[:3])
-      else:
-        length = jnp.zeros((), dtype)
+        moment = moment.at[u, dadr:dadr + 3].set(gear[:3])
     elif trntype == TRN_SITE:
-      # wrench gear (3 force + 3 torque) applied at site, in site frame
       bid = int(m.site_bodyid[tid])
-      length = jnp.zeros((), dtype)
       rot = d.site_xmat[tid]  # world-from-site
       f_w = rot @ gear[:3]
       t_w = rot @ gear[3:6]
@@ -245,14 +260,9 @@ def transmission(m: Model, d: Data) -> tuple[jax.Array, jax.Array]:
       t_ref = t_w + jnp.cross(d.site_xpos[tid] - ref, f_w)
       fb = jnp.concatenate([t_ref, f_w])
       mask = jnp.asarray(m.body_dof_mask[bid], dtype)
-      moment = (d.cdof @ fb) * mask
-    else:
-      length = jnp.zeros((), dtype)
-    lengths.append(length)
-    moments.append(moment)
-  if m.nu == 0:
-    return jnp.zeros((0,), dtype), jnp.zeros((0, m.nv), dtype)
-  return jnp.stack(lengths), jnp.stack(moments)
+      moment = moment.at[u].set((d.cdof @ fb) * mask)
+
+  return lengths, moment
 
 
 def actuation(m: Model, d: Data) -> Data:
@@ -278,22 +288,21 @@ def actuation(m: Model, d: Data) -> Data:
     hi = m.actuator_ctrlrange[:, 1]
     ctrl = jnp.where(limited, jnp.clip(ctrl, lo, hi), ctrl)
 
-  # activation dynamics
+  # activation dynamics (vectorized; loop only over stateful actuators,
+  # which are rare)
   act_dot = jnp.zeros(na, dtype)
-  inputs = []
+  input_arr = ctrl
   for u in range(nu):
     dyntype = int(m.actuator_dyntype[u])
-    aadr = int(m.actuator_actadr[u])
     if dyntype == DYN_NONE:
-      inputs.append(ctrl[u])
-    else:
-      inputs.append(d.act[aadr])
-      if dyntype == DYN_INTEGRATOR:
-        act_dot = act_dot.at[aadr].set(ctrl[u])
-      elif dyntype in (DYN_FILTER, DYN_FILTEREXACT):
-        tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
-        act_dot = act_dot.at[aadr].set((ctrl[u] - d.act[aadr]) / tau)
-  input_arr = jnp.stack(inputs)
+      continue
+    aadr = int(m.actuator_actadr[u])
+    input_arr = input_arr.at[u].set(d.act[aadr])
+    if dyntype == DYN_INTEGRATOR:
+      act_dot = act_dot.at[aadr].set(ctrl[u])
+    elif dyntype in (DYN_FILTER, DYN_FILTEREXACT):
+      tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
+      act_dot = act_dot.at[aadr].set((ctrl[u] - d.act[aadr]) / tau)
 
   # gain / bias
   prm_g = m.actuator_gainprm
