@@ -303,14 +303,45 @@ def _equality_rows(m: Model, d: Data):
                                       for x in diags]))
 
 
+def _friction_rows(m: Model, d: Data):
+  """Dof friction-loss rows: |force| <= frictionloss, Huber cost in the
+  solver (mjCNSTR_FRICTION_DOF)."""
+  import numpy as np
+  dtype = d.qpos.dtype
+  idx = np.where(np.asarray(jax.device_get(m.dof_frictionloss)) > 0)[0]
+  if len(idx) == 0:
+    return None
+  nfr = len(idx)
+  rows = jnp.zeros((nfr, m.nv), dtype).at[np.arange(nfr), idx].set(1.0)
+  pos = jnp.zeros(nfr, dtype)
+  solref = jnp.tile(jnp.asarray([0.02, 1.0], dtype)[None], (nfr, 1))
+  solimp = jnp.tile(
+      jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype)[None], (nfr, 1))
+  diag = m.dof_invweight0[idx]
+  floss = m.dof_frictionloss[idx]
+  return rows, pos, solref, solimp, diag, floss
+
+
 def make_constraint(m: Model, d: Data) -> Data:
   """Assemble fixed-size efc_{J, D, aref, pos} (positions stage)."""
   dtype = d.qpos.dtype
   eq = _equality_rows(m, d)
+  fr = _friction_rows(m, d)
   lim = _limit_rows(m, d)
   contact, con = _contact_rows(m, d)
 
-  js, poss, refs, imps, gates, diags, eqs = [], [], [], [], [], [], []
+  js, poss, refs, imps, gates, diags, eqs, flosses = \
+      [], [], [], [], [], [], [], []
+  if fr is not None:
+    fj, fp, fref, fimp, fd, floss = fr
+    js.append(fj)
+    poss.append(fp)
+    refs.append(fref)
+    imps.append(fimp)
+    gates.append(jnp.full(fp.shape, -1.0, dtype))  # always active
+    diags.append(fd)
+    eqs.append(jnp.zeros(fp.shape, dtype))
+    flosses.append(floss)
   if eq is not None:
     ej, ep, er, ei, ed = eq
     js.append(ej)
@@ -320,6 +351,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     gates.append(jnp.full(ep.shape, -1.0, dtype))  # always active
     diags.append(ed)
     eqs.append(jnp.ones(ep.shape, dtype))
+    flosses.append(jnp.zeros(ep.shape, dtype))
   if lim is not None:
     lj, lp, lr, li, ld = lim
     js.append(lj)
@@ -329,6 +361,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     gates.append(lp)  # limit active iff pos < 0
     diags.append(ld)
     eqs.append(jnp.zeros(lp.shape, dtype))
+    flosses.append(jnp.zeros(lp.shape, dtype))
   if con is not None:
     cj, cpos, cr, ci, cg, cd = con
     js.append(cj)
@@ -338,6 +371,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     gates.append(cg)
     diags.append(cd)
     eqs.append(jnp.zeros(cpos.shape, dtype))
+    flosses.append(jnp.zeros(cpos.shape, dtype))
 
   if not js:
     z = jnp.zeros((0,), dtype)
@@ -346,7 +380,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     return d.replace(
         contact=contact, efc_J=jnp.zeros((0, m.nv), dtype), efc_pos=z,
         efc_solref=z2, efc_solimp=z5, efc_diag=z, efc_gate=z, efc_D=z,
-        efc_aref=z, efc_eq=z)
+        efc_aref=z, efc_eq=z, efc_floss=z)
 
   return d.replace(
       contact=contact,
@@ -356,7 +390,8 @@ def make_constraint(m: Model, d: Data) -> Data:
       efc_solimp=jnp.concatenate(imps),
       efc_gate=jnp.concatenate(gates),
       efc_diag=jnp.concatenate(diags),
-      efc_eq=jnp.concatenate(eqs))
+      efc_eq=jnp.concatenate(eqs),
+      efc_floss=jnp.concatenate(flosses))
 
 
 def reference_constraint(m: Model, d: Data) -> Data:
@@ -392,16 +427,28 @@ def solve(m: Model, d: Data) -> Data:
   a0 = d.qacc_smooth
 
   eq_mask = d.efc_eq if d.efc_eq is not None else jnp.zeros_like(dvec)
+  floss = d.efc_floss if d.efc_floss is not None else jnp.zeros_like(dvec)
+  fr_mask = (floss > 0).astype(dtype)
 
-  def cost_terms(a):
-    jar = j @ a - aref
-    active = jnp.maximum((jar < 0).astype(dtype), eq_mask) * dvec
-    return jar, active
+  def grad_weight(jar):
+    """Per-row cost gradient g(jar) and curvature weight h(jar).
+
+    inequality: quadratic one-sided; equality: quadratic two-sided;
+    friction-loss: Huber with force bound +-floss."""
+    base_active = jnp.maximum((jar < 0).astype(dtype), eq_mask) * dvec
+    f_lin = dvec * jar
+    g = jnp.where(fr_mask > 0, jnp.clip(f_lin, -floss, floss),
+                  base_active * jar)
+    h = jnp.where(fr_mask > 0,
+                  dvec * (jnp.abs(f_lin) < floss).astype(dtype),
+                  base_active)
+    return g, h
 
   def newton_step(a):
-    jar, active = cost_terms(a)
-    grad = mass @ (a - a0) + j.T @ (active * jar)
-    h = mass + (j.T * active) @ j
+    jar = j @ a - aref
+    g, hw = grad_weight(jar)
+    grad = mass @ (a - a0) + j.T @ g
+    h = mass + (j.T * hw) @ j
     # damped Cholesky (tiny jitter for robustness in f32)
     h = h + 1e-8 * jnp.eye(nv, dtype=dtype)
     chol = jnp.linalg.cholesky(h)
@@ -415,9 +462,9 @@ def solve(m: Model, d: Data) -> Data:
 
     def ls_body(_, t):
       jart = jar + t * jp
-      act = jnp.maximum((jart < 0).astype(dtype), eq_mask) * dvec
-      dphi = pma + t * pmp + jnp.sum(act * jart * jp)
-      ddphi = pmp + jnp.sum(act * jp * jp)
+      gt, ht = grad_weight(jart)
+      dphi = pma + t * pmp + jnp.sum(gt * jp)
+      ddphi = pmp + jnp.sum(ht * jp * jp)
       return t - dphi / jnp.maximum(ddphi, _MINVAL)
 
     t = jax.lax.fori_loop(0, ls_iterations, ls_body, jnp.ones((), dtype))
@@ -425,8 +472,9 @@ def solve(m: Model, d: Data) -> Data:
 
   a = jax.lax.fori_loop(0, iterations, lambda _, a: newton_step(a), a0)
 
-  jar, active = cost_terms(a)
-  efc_force = -active * jar
+  jar = j @ a - aref
+  g, _ = grad_weight(jar)
+  efc_force = -g
   qfrc_constraint = j.T @ efc_force
   # recompute final qacc consistently: M qacc = qfrc_smooth + qfrc_constraint
   qacc = S.solve_m(m, d, d.qfrc_smooth + qfrc_constraint)

@@ -299,6 +299,8 @@ class Data:
   efc_diag: jax.Array = None    # (nefc,) diag approx of J M^-1 J^T
   efc_gate: jax.Array = None    # (nefc,) row exists iff gate < 0
   efc_eq: jax.Array = None      # (nefc,) 1 for equality rows (two-sided)
+  efc_floss: jax.Array = None   # (nefc,) friction-loss bound (0 = not a
+                                # friction row)
   efc_D: jax.Array = None       # (nefc,)
   efc_aref: jax.Array = None    # (nefc,)
   efc_force: jax.Array = None

@@ -202,3 +202,33 @@ def test_equality_connect_tracks_mujoco():
     d = step(d)
   # connected bodies must stay joined at the anchor in both sims
   np.testing.assert_allclose(d.qpos, mjd.qpos, atol=0.03)
+
+
+def test_frictionloss_tracks_mujoco():
+  """Joint friction loss: slider with frictionloss resists gravity-driven
+  sliding; compare against the oracle."""
+  from mujoco_mpc_tpu.physics import forward as F
+  xml = """
+  <mujoco><option timestep="0.002"/>
+    <worldbody>
+      <body pos="0 0 1" euler="0 25 0">
+        <joint name="s" type="slide" axis="1 0 0" frictionloss="1.5"
+               damping="0.01"/>
+        <geom type="box" size="0.05 0.05 0.05" mass="0.5"
+              contype="0" conaffinity="0"/>
+      </body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+  d = M.make_data(m)
+  step = jax.jit(lambda d: F.step(m, d))
+  for t in range(300):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  # friction (1.5 N) exceeds the gravity component along the tilted slide
+  # (0.5 * 9.81 * sin(25 deg) ~= 2.07 > 1.5 -> slides, but slowly);
+  # both sims must agree
+  np.testing.assert_allclose(d.qpos, mjd.qpos, atol=0.02)
+  np.testing.assert_allclose(d.qvel, mjd.qvel, atol=0.05)
