@@ -99,22 +99,23 @@ class Agent:
     costs, actions, plan_times = [], [], []
     for t in range(n_steps):
       if t % steps_per_plan == 0:
-        if async_plan:
-          # apply previous plan result, launch next plan on device
-          if self._pending_plan is not None:
-            self._pending_plan.result()
-          self._pending_plan = self._executor.submit(self.plan_iteration)
-        else:
-          t0 = time_lib.perf_counter()
-          self.plan_iteration()
+        # async mode relies on jax's async dispatch: plan_iteration
+        # enqueues the planner program and returns before the device
+        # finishes; the subsequent step program queues behind it. (A
+        # separate planning thread would race device access — see
+        # grpc/ui_agent_service.py.) Sync mode blocks to measure latency.
+        t0 = time_lib.perf_counter()
+        self.plan_iteration()
+        if not async_plan:
+          jax.block_until_ready(
+              getattr(self.planner, "policy", self.data).values
+              if hasattr(getattr(self.planner, "policy", None), "values")
+              else self.data.qpos)
           plan_times.append(time_lib.perf_counter() - t0)
       self.step_env()
       r = self.task.residual(self.m, self.data, self.task.residual_params)
       costs.append(float(self.task.cost(r)))
       actions.append(np.asarray(self.data.ctrl))
-    if self._pending_plan is not None:
-      self._pending_plan.result()
-      self._pending_plan = None
     return {
         "costs": np.array(costs),
         "actions": np.array(actions),
