@@ -162,7 +162,8 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
   def feedback_rollout(d0, pol_states, pol_actions, ks, kmats, alpha):
     """Rollout u_t = clamp(u_nom_t + alpha k_t + K_t (x - x_nom_t))."""
 
-    def body(d, inp):
+    def body(carry, inp):
+      d = rollout_lib.from_carry(carry)
       x_nom, u_nom, k, kmat = inp
       state = rollout_lib.pack_state(d)
       dx = deriv.state_diff(m, state, x_nom)
@@ -172,13 +173,12 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
       d = F.step(m, d)
       r = residual_fn(m, d)
       fail = rollout_lib._diverged(d)
-      return d, (state, u, r, fail)
+      return rollout_lib.slim_carry(d), (state, u, r, fail)
 
-    d0f = F.forward(m, d0)
     inputs = (pol_states[:-1], pol_actions[:-1], ks, kmats)
-    d_final, (states, actions, residuals, fails) = jax.lax.scan(
-        body, d0f, inputs)
-    d_final = F.forward(m, d_final)
+    carry_final, (states, actions, residuals, fails) = jax.lax.scan(
+        body, rollout_lib.slim_carry(d0), inputs)
+    d_final = F.forward(m, rollout_lib.from_carry(carry_final))
     r_last = residual_fn(m, d_final)
     states = jnp.concatenate(
         [states, rollout_lib.pack_state(d_final)[None]], axis=0)
