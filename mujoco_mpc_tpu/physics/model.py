@@ -402,11 +402,18 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
     for sig, bids in sorted(by_sig.items()):
       fk_groups.append((sig, np.array(bids, dtype=np.int64)))
 
-  # optional per-model contact cap
+  # optional per-model solver knobs (custom numerics)
   max_contacts = 32
+  solver_iters = min(int(mjm.opt.iterations), 6)
+  solver_ls_iters = min(int(mjm.opt.ls_iterations), 4)
   for i in range(mjm.nnumeric):
-    if mjm.numeric(i).name == "max_contact_points":
+    name = mjm.numeric(i).name
+    if name == "max_contact_points":
       max_contacts = int(mjm.numeric_data[mjm.numeric_adr[i]])
+    elif name == "solver_iterations":
+      solver_iters = int(mjm.numeric_data[mjm.numeric_adr[i]])
+    elif name == "solver_ls_iterations":
+      solver_ls_iters = int(mjm.numeric_data[mjm.numeric_adr[i]])
 
   opt = Option(
       timestep=dev(mjm.opt.timestep),
@@ -418,8 +425,8 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       integrator=int(mjm.opt.integrator),
       # cap MuJoCo's generous defaults: fixed-point Newton converges in a
       # handful of iterations on robotics-scale systems
-      iterations=min(int(mjm.opt.iterations), 6),
-      ls_iterations=min(int(mjm.opt.ls_iterations), 4),
+      iterations=solver_iters,
+      ls_iterations=solver_ls_iters,
       max_contact_points=max_contacts,
       tolerance=float(mjm.opt.tolerance),
       disableflags=int(mjm.opt.disableflags),

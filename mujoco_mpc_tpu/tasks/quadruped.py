@@ -80,6 +80,8 @@ _XML = f"""
     <numeric name="residual_Amplitude" data="0.06 0 0.2" />
     <numeric name="residual_Duty ratio" data="0.45 0 1"/>
     <numeric name="residual_Heading" data="0 -3.14 3.14" />
+    <numeric name="max_contact_points" data="12" />
+    <numeric name="solver_iterations" data="4" />
   </custom>
   <default>
     <geom friction="0.7 0.02 0.0001" solref="0.01 1"/>
