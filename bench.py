@@ -21,6 +21,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: TPU compiles through this environment's tunnel
+# are slow (minutes); cache hits make repeat runs instant
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+try:
+  jax.config.update("jax_compilation_cache_dir", _CACHE)
+  jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+  pass
+
 
 def measure_tpu_rollouts(task, num_trajectory, horizon, iters,
                          spline_points=3, exploration=0.04):
