@@ -212,6 +212,20 @@ class QuadrupedFlat(base.Task):
 
 
 class QuadrupedHill(QuadrupedFlat):
-  """Hill-terrain variant placeholder (same residual; terrain later)."""
+  """Uneven-terrain variant (reference task_hill uses an hfield; here the
+  terrain is a run of static ramps and steps — box geoms — since mesh/
+  hfield collision is not yet supported)."""
 
   name = "Quadruped Hill"
+
+  def xml(self) -> str:
+    terrain = """
+    <geom name="ramp1" type="box" pos="1.0 0 0.03" euler="0 -6 0"
+          size="0.5 1.2 0.05"/>
+    <geom name="step1" type="box" pos="1.9 0 0.1" size="0.35 1.2 0.1"/>
+    <geom name="ramp2" type="box" pos="2.8 0 0.16" euler="0 6 0"
+          size="0.55 1.2 0.05"/>
+    """
+    return _XML.replace(
+        '<geom name="floor" type="plane" size="50 50 0.1"/>',
+        '<geom name="floor" type="plane" size="50 50 0.1"/>' + terrain)
