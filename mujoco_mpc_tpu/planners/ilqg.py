@@ -282,7 +282,7 @@ class ILQGPlanner:
   def __init__(self, task, config: Optional[ILQGConfig] = None,
                dtype=jnp.float32):
     self.task = task
-    self.m = task.model
+    self.m = getattr(task, "plan_model", task.model)
     self.config = config or make_config(task)
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
     self._optimize = jax.jit(make_optimize_fn(

@@ -26,7 +26,7 @@ class ILQSPlanner:
 
   def __init__(self, task, dtype=jnp.float32):
     self.task = task
-    self.m = task.model
+    self.m = getattr(task, "plan_model", task.model)
     self.sampler = sampling_lib.SamplingPlanner(task, dtype=dtype)
     # match horizons so trajectories are interchangeable
     ilqg_cfg = ilqg_lib.make_config(task).replace(

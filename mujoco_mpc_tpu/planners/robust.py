@@ -112,7 +112,7 @@ class RobustPlanner:
   def __init__(self, task, s_config: Optional[sampling.SamplingConfig] = None,
                r_config: Optional[RobustConfig] = None, dtype=jnp.float32):
     self.task = task
-    self.m = task.model
+    self.m = getattr(task, "plan_model", task.model)
     self.s_config = s_config or sampling.make_config(task, dtype)
     self.r_config = r_config or make_config(task, dtype)
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)

@@ -153,7 +153,7 @@ class SamplingPlanner:
   def __init__(self, task, config: Optional[SamplingConfig] = None,
                dtype=jnp.float32):
     self.task = task
-    self.m = task.model
+    self.m = getattr(task, "plan_model", task.model)
     self.config = config or make_config(task, dtype)
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
     cost_fn = task.cost_spec.cost

@@ -34,6 +34,23 @@ class Task:
     else:
       self.mjm = mujoco.MjModel.from_xml_path(xml)
     self.model = model_lib.put_model(self.mjm, dtype=dtype)
+    # planning model: the reference overrides timestep/integrator for the
+    # planner's internal model (agent_timestep / agent_integrator custom
+    # numerics, agent.cc:274-276); physics stepping keeps the sim model
+    self.plan_model = self.model
+    agent_dt = cost_spec_lib.get_number_or_default(
+        self.mjm, "agent_timestep", 0.0)
+    if agent_dt > 0 and abs(agent_dt - float(self.mjm.opt.timestep)) > 1e-12:
+      import jax.numpy as _jnp
+      self.plan_model = self.model.replace(
+          opt=self.model.opt.replace(
+              timestep=_jnp.asarray(agent_dt, dtype)))
+    agent_integrator = cost_spec_lib.get_number_or_default(
+        self.mjm, "agent_integrator", -1.0)
+    if agent_integrator >= 0:
+      self.plan_model = self.plan_model.replace(
+          opt=self.plan_model.opt.replace(
+              integrator=int(agent_integrator)))
     self.cost_spec = cost_spec_lib.parse_cost_spec(self.mjm, dtype=dtype)
     self.residual_params = cost_spec_lib.parse_residual_params(
         self.mjm, dtype=dtype)
