@@ -92,7 +92,9 @@ class CostSpec:
   def cost_grad_hess(self, residual: jax.Array):
     """Gauss-Newton expansion wrt residual: (grad, hess) per term assembled
     into full (num_residual,) grad and (num_residual, num_residual) Hessian
-    (block-diagonal over terms)."""
+    (block-diagonal over terms), with risk-sensitive scaling when risk != 0
+    (reference cost_derivatives.cc:161-224: for l_r = (e^{R c}-1)/R,
+    grad_r = e^{R c} grad, hess_r = e^{R c}(hess + R grad grad^T))."""
     nr = self.num_residual
     grad = jnp.zeros(residual.shape[:-1] + (nr,), residual.dtype)
     hess = jnp.zeros(residual.shape[:-1] + (nr, nr), residual.dtype)
@@ -106,6 +108,16 @@ class CostSpec:
       hess = hess.at[..., off:off + dim, off:off + dim].set(
           self.weights[k][..., None] * h)
       off += dim
+
+    neutral = jnp.abs(self.risk) < RISK_NEUTRAL_TOL
+    risk_safe = jnp.where(neutral, 1.0, self.risk)
+    c = jnp.sum(self.cost_terms(residual), axis=-1)
+    scale = jnp.exp(risk_safe * c)
+    grad_r = scale[..., None] * grad
+    hess_r = scale[..., None, None] * (
+        hess + risk_safe * grad[..., :, None] * grad[..., None, :])
+    grad = jnp.where(neutral, grad, grad_r)
+    hess = jnp.where(neutral, hess, hess_r)
     return grad, hess
 
   def set_weight(self, name: str, value) -> "CostSpec":
