@@ -49,6 +49,7 @@ def _ensure_loaded():
       ("hand", ["HandReorient", "CubeSolving"]),
       ("fingers", ["Fingers"]),
       ("manipulation", ["Manipulation"]),
+      ("bimanual", ["BimanualHandover"]),
   ]:
     try:
       mod = __import__(f"mujoco_mpc_tpu.tasks.{modname}",
