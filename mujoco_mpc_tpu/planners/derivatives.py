@@ -105,8 +105,8 @@ def model_derivatives(m: Model, template: Data, states: jax.Array,
   """A (T, ndx, ndx), B (T, ndx, nu) along a trajectory.
 
   `skip` > 1 evaluates every skip-th step and linearly interpolates between
-  (reference "derivative skip", model_derivatives.cc:57-72) — here mostly
-  unnecessary since all steps evaluate in one vmapped batch.
+  (reference "derivative skip", model_derivatives.cc:57-72) — cuts the AD
+  cost by `skip`x for long horizons at the price of smoothed Jacobians.
   """
   step_fn = make_step_fn(m, template)
 
@@ -121,8 +121,27 @@ def model_derivatives(m: Model, template: Data, states: jax.Array,
     jac = jax.jacfwd(f)(jnp.zeros(ndx(m) + m.nu, states.dtype))
     return jac[:, :ndx(m)], jac[:, ndx(m):]
 
-  a, b = jax.vmap(tangent_step)(states, actions, times)
-  return a, b
+  t_hor = states.shape[0]
+  if skip <= 1 or t_hor <= skip:
+    return jax.vmap(tangent_step)(states, actions, times)
+
+  # evaluate every skip-th step, linearly interpolate between
+  import numpy as np
+  eval_idx = np.arange(0, t_hor, skip)
+  if eval_idx[-1] != t_hor - 1:
+    eval_idx = np.append(eval_idx, t_hor - 1)
+  a_e, b_e = jax.vmap(tangent_step)(
+      states[eval_idx], actions[eval_idx], times[eval_idx])
+  # interpolation weights per step (static)
+  out_a, out_b = [], []
+  for t in range(t_hor):
+    seg = int(np.searchsorted(eval_idx, t, side="right")) - 1
+    seg = min(seg, len(eval_idx) - 2)
+    t0, t1 = eval_idx[seg], eval_idx[seg + 1]
+    w = (t - t0) / max(t1 - t0, 1)
+    out_a.append((1 - w) * a_e[seg] + w * a_e[seg + 1])
+    out_b.append((1 - w) * b_e[seg] + w * b_e[seg + 1])
+  return jnp.stack(out_a), jnp.stack(out_b)
 
 
 def make_residual_at_fn(m: Model, template: Data, residual_fn: Callable):

@@ -84,3 +84,35 @@ def test_ilqg_cartpole_improves():
     rets.append(float(info["best_return"]))
   assert all(np.isfinite(rets))
   assert rets[-1] < rets[0], rets
+
+
+def test_derivative_skip_interpolation():
+  """skip>1 evaluates a subset and interpolates (model_derivatives.cc:57-72
+  parity); interpolated Jacobians must stay close to exact on a smooth
+  trajectory."""
+  from mujoco_mpc_tpu.planners import derivatives as deriv
+  from mujoco_mpc_tpu.physics import forward as F
+  task = registry.get_task("Cartpole")
+  m = task.model
+  d0 = F.forward(m, task.make_data())
+  t_hor = 9
+  states = jnp.tile(jnp.concatenate([d0.qpos, d0.qvel, d0.act])[None],
+                    (t_hor, 1))
+  states = states + 0.01 * jnp.arange(t_hor)[:, None]
+  actions = jnp.zeros((t_hor, m.nu))
+  times = 0.01 * jnp.arange(t_hor)
+  a1, b1 = deriv.model_derivatives(m, d0, states, actions, times, skip=1)
+  a3, b3 = deriv.model_derivatives(m, d0, states, actions, times, skip=3)
+  assert a3.shape == a1.shape and b3.shape == b1.shape
+  np.testing.assert_allclose(a3, a1, atol=0.02)
+
+
+def test_state_snapshot_threadsafe():
+  from mujoco_mpc_tpu.agent.state import State
+  from mujoco_mpc_tpu.physics import forward as F
+  task = registry.get_task("Cartpole")
+  d = F.forward(task.model, task.make_data())
+  st = State(task.model.nq, task.model.nv, task.model.na)
+  st.set(d)
+  state, mocap, userdata, t = st.copy_to()
+  np.testing.assert_allclose(state[:2], np.asarray(d.qpos), atol=1e-6)
