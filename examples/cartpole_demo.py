@@ -5,6 +5,11 @@ spawn the agent server, run the synchronous plan/act loop through the
 client, and print the cost trace.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from mujoco_mpc_tpu.grpc.agent_client import Agent

@@ -4,6 +4,11 @@ smooth the trajectory, print error reduction."""
 
 import jax
 import jax.numpy as jnp
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from mujoco_mpc_tpu.direct.optimizer import Direct

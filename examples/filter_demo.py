@@ -3,6 +3,11 @@ EKF tracking a pendulum from noisy joint measurements."""
 
 import jax
 import jax.numpy as jnp
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from mujoco_mpc_tpu.estimators.kalman import Kalman

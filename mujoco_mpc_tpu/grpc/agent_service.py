@@ -271,7 +271,19 @@ def make_server(port: int = 0, max_workers: int = 4):
   return server, servicer, bound
 
 
+def _apply_platform_override():
+  """MJPC_TPU_PLATFORM=cpu|tpu: select the jax backend for a spawned
+  server (env JAX_PLATFORMS is consumed before our code runs in this
+  environment, so use jax.config)."""
+  import os
+  plat = os.environ.get("MJPC_TPU_PLATFORM")
+  if plat:
+    import jax
+    jax.config.update("jax_platforms", plat)
+
+
 def main():
+  _apply_platform_override()
   import argparse
   p = argparse.ArgumentParser()
   p.add_argument("--mjpc_port", type=int, default=0)
