@@ -57,12 +57,14 @@ def sample(policy: SplinePolicy, t: jax.Array) -> jax.Array:
   # fractional node position, clamped to [0, P-1]
   s = (t - policy.t0) / jnp.maximum(policy.dt, 1e-10)
   s = jnp.clip(s, 0.0, p - 1.0)
+  if policy.interp == Interpolation.ZERO:
+    # zero-order hold may land on the LAST node (no lo+1 needed)
+    lo_z = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, p - 1)
+    return values[..., lo_z, :]
   lo = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, max(p - 2, 0))
   frac = s - lo.astype(dtype)
 
   v_lo = values[..., lo, :]
-  if policy.interp == Interpolation.ZERO:
-    return v_lo
   v_hi = values[..., jnp.minimum(lo + 1, p - 1), :]
   if policy.interp == Interpolation.LINEAR:
     return v_lo * (1.0 - frac) + v_hi * frac

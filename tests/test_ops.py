@@ -31,3 +31,47 @@ def test_score_fused_matches_reference():
   fused = scoring.score_fused(residuals, task.cost_spec, interpret=True)
   ref = scoring.score_reference(residuals, task.cost_spec)
   np.testing.assert_allclose(fused, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_lane_rollout_kernel_matches_pipeline():
+  """The lane-parallel Pallas rollout kernel (ops/step_lane.py) must
+  reproduce the jnp physics pipeline exactly (same discrete actions)."""
+  import mujoco
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import model as M
+  from mujoco_mpc_tpu import rollout as RL
+  from tests import models as tm
+
+  mjm = mujoco.MjModel.from_xml_string(tm.CHAIN)
+  m = M.put_model(mjm)
+  assert step_lane.supports(m)
+  h_hor, p_nodes, k = 15, 4, 8
+  kernel = step_lane.build_rollout_kernel(m, h_hor, p_nodes, interpret=True)
+  rng = np.random.default_rng(0)
+  qpos0 = jnp.asarray(0.3 * rng.standard_normal((m.nq, k)), jnp.float32)
+  qvel0 = jnp.asarray(0.2 * rng.standard_normal((m.nv, k)), jnp.float32)
+  values = jnp.asarray(rng.uniform(-1, 1, (p_nodes * m.nu, k)), jnp.float32)
+  out = kernel(qpos0, qvel0, values)
+
+  # jnp reference applying the SAME zero-hold node schedule (discrete
+  # index policy, avoiding f32 node-boundary roundoff differences)
+  node_of = [min(int(t * p_nodes / (h_hor - 1)), p_nodes - 1)
+             for t in range(h_hor)]
+  dt = float(jax.device_get(m.opt.timestep))
+
+  def ref_one(q0, v0, vals):
+    d0 = M.make_data(m).replace(qpos=q0, qvel=v0)
+    vals = vals.reshape(p_nodes, m.nu)
+    sched = jnp.asarray(np.array(node_of), jnp.int32)
+
+    def action(state, time):
+      idx = jnp.clip(jnp.round(time / dt).astype(jnp.int32), 0, h_hor - 1)
+      return vals[sched[idx]]
+
+    traj = RL.rollout(m, lambda mm, dd: jnp.zeros(1),
+                      lambda r: jnp.sum(r, -1), action, d0, h_hor)
+    return traj.states[:, :m.nq + m.nv]
+
+  ref = jax.vmap(ref_one, in_axes=(-1, -1, -1), out_axes=-1)(
+      qpos0, qvel0, values)
+  np.testing.assert_allclose(out, ref, atol=2e-4)
