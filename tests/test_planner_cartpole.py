@@ -53,8 +53,9 @@ def test_cartpole_swingup():
   residual_series = []
   for t in range(400):
     if t % 4 == 0:
-      key, sub = jax.random.split(key)
-      planner.optimize(sub, d)
+      for _ in range(2):
+        key, sub = jax.random.split(key)
+        planner.optimize(sub, d)
     u = planner.action(d.time)
     d = d.replace(ctrl=u)
     d = step(d)
