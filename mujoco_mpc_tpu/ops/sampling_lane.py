@@ -1,0 +1,101 @@
+"""Predictive sampling on the lane-parallel rollout kernel.
+
+Fast path for the model class ops/step_lane.py supports (contact-free
+hinge/slide, zero-order-hold splines): one planner iteration = noise
+generation + ONE Pallas kernel call rolling out all candidates + fused
+scoring — measured ~200x faster than the vmapped XLA pipeline for the
+same workload (docs/DESIGN.md).
+
+Tasks opt in by implementing `residual_from_rollout(states, ctrls, times)`
+mapping the kernel's raw (H, nq+nv, K) output to (H, nr, K) residuals.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mpc_tpu import spline as spline_lib
+from mujoco_mpc_tpu.ops import step_lane
+from mujoco_mpc_tpu.planners import sampling
+
+
+def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
+                          interpret: bool = False):
+  """Jittable optimizer for lane-kernel-eligible tasks."""
+  m = getattr(task, "plan_model", task.model)
+  assert step_lane.supports(m), "model outside the lane kernel class"
+  assert config.interp == spline_lib.Interpolation.ZERO
+  assert hasattr(task, "residual_from_rollout"), \
+      "task must implement residual_from_rollout(states, ctrls, times)"
+  horizon = config.horizon
+  p = config.num_spline_points
+  nu, nq, nv = m.nu, m.nq, m.nv
+  k_total = config.num_trajectory
+  kernel = step_lane.build_rollout_kernel(m, horizon, p,
+                                          interpret=interpret)
+  h = float(jax.device_get(m.opt.timestep))
+  node_of = np.array([min(int(t * p / max(horizon - 1, 1)), p - 1)
+                      for t in range(horizon)])
+
+  def optimize(key, d0, policy: spline_lib.SplinePolicy):
+    dtype = policy.values.dtype
+    horizon_time = (horizon - 1) * m.opt.timestep
+    policy = spline_lib.resample(policy, d0.time, horizon_time)
+
+    noisy = sampling.add_noise(key, policy.values, m, config.exploration,
+                               k_total - 1)
+    candidates = jnp.concatenate([policy.values[None], noisy], axis=0)
+
+    # kernel layout: candidates on the last axis
+    values_lane = candidates.reshape(k_total, p * nu).T  # (P*nu, K)
+    qpos0 = jnp.tile(d0.qpos[:, None], (1, k_total))
+    qvel0 = jnp.tile(d0.qvel[:, None], (1, k_total))
+    states = kernel(qpos0, qvel0, values_lane)  # (H, nq+nv, K)
+
+    times = d0.time + h * jnp.arange(horizon, dtype=dtype)
+    ctrls = candidates[:, node_of, :]            # (K, H, nu)
+    ctrls = jnp.moveaxis(ctrls, 0, -1)           # (H, nu, K)
+    residuals = task.residual_from_rollout(states, ctrls, times)
+    # (H, nr, K) -> costs (K,)
+    costs = task.cost_spec.cost(jnp.moveaxis(residuals, 1, -1))  # (H, K)
+    returns = jnp.mean(costs, axis=0)
+    returns = jnp.where(
+        jnp.all(jnp.isfinite(states[-1]), axis=0), returns, 1e6)
+
+    winner = jnp.argmin(returns)
+    new_policy = policy.replace(values=candidates[winner])
+    info = {
+        "returns": returns,
+        "winner": winner,
+        "best_return": returns[winner],
+        "nominal_return": returns[0],
+    }
+    return new_policy, info
+
+  return optimize
+
+
+class LaneSamplingPlanner:
+  """Drop-in SamplingPlanner using the Pallas rollout kernel."""
+
+  def __init__(self, task, config: Optional[sampling.SamplingConfig] = None,
+               dtype=jnp.float32, interpret: bool = False):
+    self.task = task
+    self.m = getattr(task, "plan_model", task.model)
+    self.config = config or sampling.make_config(task, dtype)
+    self._optimize = jax.jit(
+        make_lane_optimize_fn(task, self.config, interpret=interpret))
+    self.policy = sampling.initial_policy(self.m, self.config, dtype)
+
+  def optimize(self, key, d0):
+    self.policy, info = self._optimize(key, d0, self.policy)
+    return info
+
+  def action(self, time) -> jax.Array:
+    u = spline_lib.sample(self.policy, jnp.asarray(time))
+    return jnp.clip(u, self.m.actuator_ctrlrange[:, 0],
+                    self.m.actuator_ctrlrange[:, 1])

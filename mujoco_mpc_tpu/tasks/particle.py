@@ -82,6 +82,16 @@ class Particle(base.Task):
     mocap = d.mocap_pos.at[0, :2].set(goal)
     return d.replace(mocap_pos=mocap)
 
+  def residual_from_rollout(self, states: jax.Array, ctrls: jax.Array,
+                            times: jax.Array) -> jax.Array:
+    """Lane-kernel scoring hook (ops/sampling_lane.py): residuals from the
+    raw (H, nq+nv, K) state block."""
+    goal = lissajous_goal(times)            # (2, H)
+    pos = states[:, 0:2, :]                 # (H, 2, K)
+    vel = states[:, 2:4, :]
+    err = pos - goal.T[:, :, None]
+    return jnp.concatenate([err, vel, ctrls], axis=1)  # (H, 6, K)
+
 
 class ParticleFixed(Particle):
   """Fixed-goal variant (reference "ParticleFixed"): goal from mocap."""

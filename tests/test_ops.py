@@ -75,3 +75,31 @@ def test_lane_rollout_kernel_matches_pipeline():
   ref = jax.vmap(ref_one, in_axes=(-1, -1, -1), out_axes=-1)(
       qpos0, qvel0, values)
   np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_lane_sampling_planner_particle():
+  """The lane-kernel sampling fast path plans the particle task and
+  matches the regular planner's behavior class (tracks the moving goal)."""
+  from mujoco_mpc_tpu.ops import sampling_lane, step_lane
+  from mujoco_mpc_tpu.planners import sampling
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Particle")
+  m = task.model
+  assert step_lane.supports(m)
+  config = sampling.make_config(task).replace(num_trajectory=8, horizon=21)
+  planner = sampling_lane.LaneSamplingPlanner(task, config, interpret=True)
+  step = jax.jit(lambda d: F.step(m, d))
+  d = task.make_data()
+  key = jax.random.PRNGKey(0)
+  for t in range(60):
+    for _ in range(2):
+      key, sub = jax.random.split(key)
+      info = planner.optimize(sub, d)
+    u = planner.action(d.time)
+    d = step(d.replace(ctrl=u))
+  r = task.residual(m, F.forward(m, d), task.residual_params)
+  dist = float(jnp.linalg.norm(r[:2]))
+  assert np.isfinite(float(info["best_return"]))
+  assert dist < 0.15, f"particle {dist} from goal (lane path)"
