@@ -34,8 +34,6 @@ def supports(m: Model) -> bool:
     return False
   if m.collision_pairs is not None and m.collision_pairs.ncon > 0:
     return False
-  if np.any(m.jnt_limited):
-    return False
   if m.neq or m.na:
     return False
   if np.any(np.asarray(jax.device_get(m.dof_frictionloss)) > 0):
@@ -64,6 +62,9 @@ def _static(m: Model):
       ctrllimited=g(m.actuator_ctrllimited),
       gear=g(m.actuator_gear), gravity=g(m.opt.gravity),
       timestep=float(g(m.opt.timestep)),
+      jnt_range=g(m.jnt_range), jnt_solref=g(m.jnt_solref),
+      jnt_solimp=g(m.jnt_solimp), jnt_margin=g(m.jnt_margin),
+      dof_invweight0=g(m.dof_invweight0),
   )
 
 
@@ -297,6 +298,69 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       qfrc[dadr] = qfrc[dadr] + gear * force
 
     rhs = [qfrc[i] - qfrc_bias[i] for i in range(nv)]
+
+    # ---- joint-limit constraint solve (scalar joints) ----
+    # rows J = +e (lower) / -e (upper); Newton on the one-sided quadratic
+    # penalty (physics/constraint.py semantics, component form)
+    limited = [j for j in range(m.njnt) if m.jnt_limited[j]]
+    qfrc_constraint = [like * 0.0 for _ in range(nv)]
+    if limited:
+      rows = []  # (dof, sign, pos, aref, D) with runtime pos/aref/D
+      for j in limited:
+        qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+        solimp = c["jnt_solimp"][j]
+        tc, dr = float(c["jnt_solref"][j][0]), float(c["jnt_solref"][j][1])
+        dmax = float(np.clip(solimp[1], 1e-4, 0.9999))
+        b_coef = 2.0 / max(dmax * tc, 1e-12)
+        k_coef = 1.0 / max(dmax * dmax * tc * tc * dr * dr, 1e-12)
+        margin = float(c["jnt_margin"][j])
+        invw = float(c["dof_invweight0"][dadr])
+        d0i = float(np.clip(solimp[0], 1e-4, 0.9999))
+        width = max(float(solimp[2]), 1e-12)
+        mid = float(np.clip(solimp[3], 1e-4, 0.9999))
+        power = max(float(solimp[4]), 1.0)
+        for sign in (1.0, -1.0):
+          if sign > 0:
+            pos = qpos[qadr] - float(c["jnt_range"][j][0]) - margin
+          else:
+            pos = float(c["jnt_range"][j][1]) - qpos[qadr] - margin
+          # impedance polynomial (mju_makeImpedance)
+          x = jnp.clip(jnp.abs(pos) / width, 0.0, 1.0)
+          a_c = 1.0 / mid ** (power - 1.0)
+          b_c = 1.0 / (1.0 - mid) ** (power - 1.0)
+          y = jnp.where(x <= mid, a_c * x ** power,
+                        1.0 - b_c * (1.0 - x) ** power)
+          imp = jnp.clip(d0i + y * (dmax - d0i), 1e-4, 0.9999)
+          jv = sign * qvel[dadr]
+          aref = -b_coef * jv - k_coef * imp * pos
+          r_reg = jnp.maximum((1.0 - imp) / imp * invw, 1e-12)
+          dcoef = jnp.where(pos < 0, 1.0 / r_reg, like * 0.0)
+          rows.append((dadr, sign, aref, dcoef))
+
+      # Newton iterations on qacc (a): H = M + J^T D_act J (diag adds)
+      a0 = lm.chol_solve_sym(mrows, rhs)  # qacc_smooth
+      a = list(a0)
+      for _ in range(3):
+        grad = [like * 0.0 for _ in range(nv)]
+        hdiag = [like * 0.0 for _ in range(nv)]
+        # M (a - a0)
+        ma = [sum(mrows[i][j] * (a[j] - a0[j]) for j in range(nv))
+              for i in range(nv)]
+        for dadr, sign, aref, dcoef in rows:
+          jar = sign * a[dadr] - aref
+          act = dcoef * (jar < 0)
+          grad[dadr] = grad[dadr] + sign * act * jar
+          hdiag[dadr] = hdiag[dadr] + act
+        hrows = [[mrows[i][j] + (hdiag[i] if i == j else 0.0)
+                  for j in range(nv)] for i in range(nv)]
+        gtot = [ma[i] + grad[i] for i in range(nv)]
+        step = lm.chol_solve_sym(hrows, gtot)
+        a = [a[i] - step[i] for i in range(nv)]
+      for dadr, sign, aref, dcoef in rows:
+        jar = sign * a[dadr] - aref
+        act = dcoef * (jar < 0)
+        qfrc_constraint[dadr] = qfrc_constraint[dadr] - sign * act * jar
+      rhs = [rhs[i] + qfrc_constraint[i] for i in range(nv)]
 
     # ---- implicit-damping Euler ----
     for i in range(nv):

@@ -103,3 +103,32 @@ def test_lane_sampling_planner_particle():
   dist = float(jnp.linalg.norm(r[:2]))
   assert np.isfinite(float(info["best_return"]))
   assert dist < 0.15, f"particle {dist} from goal (lane path)"
+
+
+def test_lane_kernel_joint_limits_match_pipeline():
+  """Limit rows inside the lane kernel reproduce the pipeline's
+  constrained dynamics exactly (cartpole slider driven into its stop)."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.physics import model as M
+  from mujoco_mpc_tpu.tasks.cartpole import Cartpole
+
+  task = Cartpole()
+  m = task.model.replace(opt=task.model.opt.replace(integrator=0))
+  assert step_lane.supports(m)
+  h_hor, k = 25, 4
+  kernel = step_lane.build_rollout_kernel(m, h_hor, 1, interpret=True)
+  qpos0 = jnp.asarray(np.tile([[1.7], [0.3]], (1, k)), jnp.float32)
+  qvel0 = jnp.asarray(np.tile([[1.5], [0.0]], (1, k)), jnp.float32)
+  values = jnp.ones((1, k), jnp.float32)
+  out = kernel(qpos0, qvel0, values)
+
+  d = M.make_data(m).replace(qpos=qpos0[:, 0], qvel=qvel0[:, 0],
+                             ctrl=values[:1, 0])
+  step = jax.jit(lambda d: F.step(m, d))
+  for t in range(h_hor):
+    ref = np.concatenate([np.asarray(d.qpos), np.asarray(d.qvel)])
+    np.testing.assert_allclose(out[t, :, 0], ref, atol=2e-4)
+    d = step(d)
+  # the stop held: slider stays at ~1.8 despite constant outward push
+  assert float(out[-1, 0, 0]) < 1.85
