@@ -124,7 +124,10 @@ void mpc_policy_action(void* handle, double time, double* out) {
   double x = (time - s.t0) / s.dt;
   if (x < 0.0) x = 0.0;
   if (x > nn - 1) x = nn - 1;
-  int32_t lo = static_cast<int32_t>(std::floor(x));
+  // zero-order hold may land on the LAST node (matches spline.py)
+  int32_t lo_z = static_cast<int32_t>(std::floor(x));
+  if (lo_z > nn - 1) lo_z = nn - 1;
+  int32_t lo = lo_z;
   if (lo > nn - 2) lo = nn >= 2 ? nn - 2 : 0;
   double t = x - lo;
   int32_t hi = lo + 1 < nn ? lo + 1 : nn - 1;
@@ -133,7 +136,7 @@ void mpc_policy_action(void* handle, double time, double* out) {
     double value;
     switch (p->interp) {
       case kZero:
-        value = v[lo * nu + i];
+        value = v[lo_z * nu + i];
         break;
       case kLinear:
         value = v[lo * nu + i] * (1.0 - t) + v[hi * nu + i] * t;
