@@ -116,9 +116,9 @@ def test_lane_kernel_joint_limits_match_pipeline():
   task = Cartpole()
   m = task.model.replace(opt=task.model.opt.replace(integrator=0))
   assert step_lane.supports(m)
-  h_hor, k = 25, 4
+  h_hor, k = 12, 4
   kernel = step_lane.build_rollout_kernel(m, h_hor, 1, interpret=True)
-  qpos0 = jnp.asarray(np.tile([[1.7], [0.3]], (1, k)), jnp.float32)
+  qpos0 = jnp.asarray(np.tile([[1.76], [0.3]], (1, k)), jnp.float32)
   qvel0 = jnp.asarray(np.tile([[1.5], [0.0]], (1, k)), jnp.float32)
   values = jnp.ones((1, k), jnp.float32)
   out = kernel(qpos0, qvel0, values)
