@@ -23,17 +23,56 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from mujoco_mpc_tpu.ops import lanemath as lm
-from mujoco_mpc_tpu.physics.model import (BIAS_NONE, GAIN_FIXED, HINGE,
-                                          SLIDE, TRN_JOINT, Model)
+from mujoco_mpc_tpu.physics.model import (BIAS_NONE, FREE, GAIN_FIXED,
+                                          HINGE, SLIDE, TRN_JOINT, Model)
 
 
-def supports(m: Model) -> bool:
-  """Model class the prototype kernel handles."""
+from mujoco_mpc_tpu.physics import collision as coll
+
+
+def _ground_groups(m: Model):
+  """Plane-vs-{sphere,capsule,box} pair groups with a STATIC world plane."""
+  if m.collision_pairs is None:
+    return []
+  out = []
+  for g in m.collision_pairs.groups:
+    if g.types[0] != coll.PLANE:
+      continue
+    if g.types[1] not in (coll.SPHERE, coll.CAPSULE, coll.BOX):
+      continue
+    if any(int(m.geom_bodyid[gid]) != 0 for gid in g.geom1):
+      continue  # plane must be world-static
+    out.append(g)
+  return out
+
+
+def _nonground_count(m: Model) -> int:
+  if m.collision_pairs is None:
+    return 0
+  ground = set()
+  for g in _ground_groups(m):
+    for a, b in zip(g.geom1, g.geom2):
+      ground.add((int(a), int(b)))
+  total = 0
+  for g in m.collision_pairs.groups:
+    for a, b in zip(g.geom1, g.geom2):
+      if (int(a), int(b)) not in ground:
+        total += 1
+  return total
+
+
+def supports(m: Model, ground_only: bool = False) -> bool:
+  """Model class the kernel handles. With ground_only=True, non-ground
+  candidate pairs (e.g. self-collisions) are DROPPED from the kernel's
+  planning dynamics — a deliberate planning-model approximation."""
   jt = set(int(t) for t in m.jnt_type)
-  if not jt <= {HINGE, SLIDE}:
+  if not jt <= {HINGE, SLIDE, FREE}:
     return False
   if m.collision_pairs is not None and m.collision_pairs.ncon > 0:
-    return False
+    if not ground_only:
+      return False
+    if not _ground_groups(m):
+      return False
   if m.neq or m.na:
     return False
   if np.any(np.asarray(jax.device_get(m.dof_frictionloss)) > 0):
@@ -65,6 +104,8 @@ def _static(m: Model):
       jnt_range=g(m.jnt_range), jnt_solref=g(m.jnt_solref),
       jnt_solimp=g(m.jnt_solimp), jnt_margin=g(m.jnt_margin),
       dof_invweight0=g(m.dof_invweight0),
+      geom_pos=g(m.geom_pos), geom_quat=g(m.geom_quat),
+      geom_size=g(m.geom_size), body_invweight0=g(m.body_invweight0),
   )
 
 
@@ -76,7 +117,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
   K must tile to the TPU lane layout (multiples of 128 recommended).
   """
-  assert supports(m), "model outside the prototype kernel's class"
+  assert supports(m, ground_only=True), \
+      "model outside the kernel's class"
   c = _static(m)
   nq, nv, nu, nb = m.nq, m.nv, m.nu, m.nbody
   h = c["timestep"]
@@ -110,7 +152,16 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         qadr = int(m.jnt_qposadr[j])
         anchor = lm.vadd(lm.qrot(quat, cv(c["jnt_pos"][j])), pos)
         axis = lm.qrot(quat, cv(c["jnt_axis"][j]))
-        if int(m.jnt_type[j]) == SLIDE:
+        if int(m.jnt_type[j]) == FREE:
+          pos = (qpos[qadr], qpos[qadr + 1], qpos[qadr + 2])
+          qn = jnp.sqrt(qpos[qadr + 3]**2 + qpos[qadr + 4]**2 +
+                        qpos[qadr + 5]**2 + qpos[qadr + 6]**2)
+          inv = 1.0 / jnp.maximum(qn, 1e-12)
+          quat = (qpos[qadr + 3] * inv, qpos[qadr + 4] * inv,
+                  qpos[qadr + 5] * inv, qpos[qadr + 6] * inv)
+          anchor = pos
+          axis = cv(c["jnt_axis"][j])  # global z, not rotated
+        elif int(m.jnt_type[j]) == SLIDE:
           disp = qpos[qadr] - float(c["qpos0"][qadr])
           pos = lm.vadd(pos, lm.vscale(axis, disp))
         else:  # HINGE
@@ -174,11 +225,21 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     cdof = []
     for j in range(m.njnt):
       bid = int(m.jnt_bodyid[j])
-      if int(m.jnt_type[j]) == SLIDE:
+      jtype = int(m.jnt_type[j])
+      if jtype == SLIDE:
         cdof.append((cv([0, 0, 0]), xaxis[j]))
-      else:
+      elif jtype == HINGE:
         offset = lm.vsub(ref[bid], xanchor[j])
         cdof.append((xaxis[j], lm.vcross(xaxis[j], offset)))
+      else:  # FREE: world translations, then body-frame rotation axes
+        for k in range(3):
+          e = [0.0, 0.0, 0.0]; e[k] = 1.0
+          cdof.append((cv([0, 0, 0]), cv(e)))
+        offset = lm.vsub(ref[bid], xanchor[j])
+        for k in range(3):
+          e = [0.0, 0.0, 0.0]; e[k] = 1.0
+          ax = lm.qrot(xquat[bid], cv(e))  # body axis k in world
+          cdof.append((ax, lm.vcross(ax, offset)))
 
     def imul(inert, mot):
       """Spatial inertia times motion -> force (component form)."""
@@ -214,20 +275,37 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
     # ---- velocities + RNE bias ----
     cvel = [(cv([0, 0, 0]), cv([0, 0, 0]))] * nb
-    cdof_dot = [None] * nv
+    cdof_dot = [(cv([0, 0, 0]), cv([0, 0, 0]))] * nv
+
+    def mcross(a, b):
+      return (lm.vcross(a[0], b[0]),
+              lm.vadd(lm.vcross(a[0], b[1]), lm.vcross(a[1], b[0])))
+
+    def vplus(v, n):
+      return (lm.vadd(v[0], lm.vscale(cdof[n][0], qvel[n])),
+              lm.vadd(v[1], lm.vscale(cdof[n][1], qvel[n])))
+
     for i in range(1, nb):
       pid = int(m.body_parentid[i])
       v = cvel[pid]
       da = int(m.body_dofadr[i])
-      for k in range(int(m.body_dofnum[i])):
+      k = 0
+      ndofs = int(m.body_dofnum[i])
+      while k < ndofs:
         n = da + k
-        # hinge/slide: cdof_dot = v_before x cdof (motion cross)
-        w1, v1 = v
-        w2, v2 = cdof[n]
-        cdof_dot[n] = (lm.vcross(w1, w2),
-                       lm.vadd(lm.vcross(w1, v2), lm.vcross(v1, w2)))
-        v = (lm.vadd(v[0], lm.vscale(cdof[n][0], qvel[n])),
-             lm.vadd(v[1], lm.vscale(cdof[n][1], qvel[n])))
+        jtype = int(m.jnt_type[int(m.dof_jntid[n])])
+        if jtype == FREE:
+          for kk in range(3):      # translations: cdof_dot = 0
+            v = vplus(v, da + kk)
+          vpre = v
+          for kk in range(3, 6):   # rotations: pre-velocity = translations
+            cdof_dot[da + kk] = mcross(vpre, cdof[da + kk])
+            v = vplus(v, da + kk)
+          k += 6
+        else:
+          cdof_dot[n] = mcross(v, cdof[n])
+          v = vplus(v, n)
+          k += 1
       cvel[i] = v
 
     grav = c["gravity"]
@@ -299,67 +377,211 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
     rhs = [qfrc[i] - qfrc_bias[i] for i in range(nv)]
 
-    # ---- joint-limit constraint solve (scalar joints) ----
-    # rows J = +e (lower) / -e (upper); Newton on the one-sided quadratic
-    # penalty (physics/constraint.py semantics, component form)
-    limited = [j for j in range(m.njnt) if m.jnt_limited[j]]
-    qfrc_constraint = [like * 0.0 for _ in range(nv)]
-    if limited:
-      rows = []  # (dof, sign, pos, aref, D) with runtime pos/aref/D
-      for j in limited:
-        qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-        solimp = c["jnt_solimp"][j]
-        tc, dr = float(c["jnt_solref"][j][0]), float(c["jnt_solref"][j][1])
-        dmax = float(np.clip(solimp[1], 1e-4, 0.9999))
-        b_coef = 2.0 / max(dmax * tc, 1e-12)
-        k_coef = 1.0 / max(dmax * dmax * tc * tc * dr * dr, 1e-12)
-        margin = float(c["jnt_margin"][j])
-        invw = float(c["dof_invweight0"][dadr])
-        d0i = float(np.clip(solimp[0], 1e-4, 0.9999))
-        width = max(float(solimp[2]), 1e-12)
-        mid = float(np.clip(solimp[3], 1e-4, 0.9999))
-        power = max(float(solimp[4]), 1.0)
-        for sign in (1.0, -1.0):
-          if sign > 0:
-            pos = qpos[qadr] - float(c["jnt_range"][j][0]) - margin
-          else:
-            pos = float(c["jnt_range"][j][1]) - qpos[qadr] - margin
-          # impedance polynomial (mju_makeImpedance)
-          x = jnp.clip(jnp.abs(pos) / width, 0.0, 1.0)
-          a_c = 1.0 / mid ** (power - 1.0)
-          b_c = 1.0 / (1.0 - mid) ** (power - 1.0)
-          y = jnp.where(x <= mid, a_c * x ** power,
-                        1.0 - b_c * (1.0 - x) ** power)
-          imp = jnp.clip(d0i + y * (dmax - d0i), 1e-4, 0.9999)
-          jv = sign * qvel[dadr]
-          aref = -b_coef * jv - k_coef * imp * pos
-          r_reg = jnp.maximum((1.0 - imp) / imp * invw, 1e-12)
-          dcoef = jnp.where(pos < 0, 1.0 / r_reg, like * 0.0)
-          rows.append((dadr, sign, aref, dcoef))
+    # ---- constraint rows: joint limits + ground contacts ----
+    # generic one-sided quadratic penalty rows solved with masked Newton
+    # (physics/constraint.py semantics, component form). Each row:
+    # (jrow: list of nv entries (None = structurally zero), aref, D_gate)
+    def impedance(pos, solimp):
+      d0i = float(np.clip(solimp[0], 1e-4, 0.9999))
+      dmax = float(np.clip(solimp[1], 1e-4, 0.9999))
+      width = max(float(solimp[2]), 1e-12)
+      mid = float(np.clip(solimp[3], 1e-4, 0.9999))
+      power = max(float(solimp[4]), 1.0)
+      x = jnp.clip(jnp.abs(pos) / width, 0.0, 1.0)
+      a_c = 1.0 / mid ** (power - 1.0)
+      b_c = 1.0 / (1.0 - mid) ** (power - 1.0)
+      y = jnp.where(x <= mid, a_c * x ** power,
+                    1.0 - b_c * (1.0 - x) ** power)
+      return jnp.clip(d0i + y * (dmax - d0i), 1e-4, 0.9999)
 
-      # Newton iterations on qacc (a): H = M + J^T D_act J (diag adds)
+    def kbi(pos, jv, solref, solimp, invw):
+      imp = impedance(pos, solimp)
+      tc, dr = float(solref[0]), float(solref[1])
+      dmax = float(np.clip(solimp[1], 1e-4, 0.9999))
+      b_coef = 2.0 / max(dmax * tc, 1e-12)
+      k_coef = 1.0 / max(dmax * dmax * tc * tc * dr * dr, 1e-12)
+      aref = -b_coef * jv - k_coef * imp * pos
+      r_reg = jnp.maximum((1.0 - imp) / imp * float(invw), 1e-12)
+      dcoef = jnp.where(pos < 0, 1.0 / r_reg, like * 0.0)
+      return aref, dcoef
+
+    rows = []
+    for j in range(m.njnt):
+      if not m.jnt_limited[j]:
+        continue
+      qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+      margin = float(c["jnt_margin"][j])
+      for sign in (1.0, -1.0):
+        if sign > 0:
+          pos = qpos[qadr] - float(c["jnt_range"][j][0]) - margin
+        else:
+          pos = float(c["jnt_range"][j][1]) - qpos[qadr] - margin
+        aref, dcoef = kbi(pos, sign * qvel[dadr], c["jnt_solref"][j],
+                          c["jnt_solimp"][j],
+                          c["dof_invweight0"][dadr])
+        jrow = [None] * nv
+        jrow[dadr] = like * 0.0 + sign
+        rows.append((jrow, aref, dcoef))
+
+    # ground contacts: plane (world-static) vs sphere/capsule/box
+    cp = m.collision_pairs
+    if cp is not None and cp.ncon > 0:
+      # per-candidate static params indexed to (geom1, geom2) pairs
+      meta = {}
+      off = 0
+      for g in cp.groups:
+        for pi in range(g.count):
+          key = (int(g.geom1[pi]), int(g.geom2[pi]))
+          meta[key] = off
+          off += g.ncon_per_pair
+
+      def geom_world(gid, bid):
+        gpos = lm.vadd(xpos[bid], lm.qrot(xquat[bid], cv(c["geom_pos"][gid])))
+        gq = c["geom_quat"][gid]
+        gquat = lm.qmul(xquat[bid],
+                        (jnp.ones_like(like) * float(gq[0]),
+                         jnp.ones_like(like) * float(gq[1]),
+                         jnp.ones_like(like) * float(gq[2]),
+                         jnp.ones_like(like) * float(gq[3])))
+        return gpos, gquat
+
+      def point_vel(bid, pt):
+        """Velocity of world point on body bid (for aref's Jv)."""
+        w, v = cvel[bid]
+        r = lm.vsub(pt, ref[bid])
+        return lm.vadd(v, lm.vcross(w, r))
+
+      def add_contact(bid, pt, dist, nrm, ci):
+        """Pyramidal rows for one candidate contact at world point pt."""
+        fri = cp.con_friction[ci]
+        solref_c = cp.con_solref[ci]
+        solimp_c = cp.con_solimp[ci]
+        incm = float(cp.con_includemargin[ci])
+        invw = (c["body_invweight0"][0][0] +
+                c["body_invweight0"][bid][0])
+        gap = dist - incm
+        # contact frame: static normal -> static tangents
+        n_np = np.asarray(nrm, dtype=np.float64)
+        refv = np.array([1.0, 0, 0]) if abs(n_np[0]) < 0.5 \
+            else np.array([0, 1.0, 0])
+        t1 = np.cross(n_np, refv); t1 /= np.linalg.norm(t1)
+        t2 = np.cross(n_np, t1)
+        dirs = [n_np, t1, t2]
+        # per-direction J rows over supporting dofs
+        support = [i for i in range(nv) if m.body_dof_mask[bid][i] > 0]
+        jdir = []
+        for dvec in dirs:
+          row = [None] * nv
+          for i in support:
+            w2, v2 = cdof[i]
+            rvec = lm.vsub(pt, ref[bid])
+            jp = lm.vadd(v2, lm.vcross(w2, rvec))
+            row[i] = jp[0] * float(dvec[0]) + jp[1] * float(dvec[1]) + \
+                jp[2] * float(dvec[2])
+          jdir.append(row)
+        pv = point_vel(bid, pt)
+        vdirs = [pv[0] * float(d_[0]) + pv[1] * float(d_[1]) +
+                 pv[2] * float(d_[2]) for d_ in dirs]
+        mu = [float(fri[0]), float(fri[1])]
+        for fd in range(2):
+          for sign in (1.0, -1.0):
+            jrow = [None] * nv
+            for i in support:
+              jrow[i] = jdir[0][i] + sign * mu[fd] * jdir[1 + fd][i]
+            jv = vdirs[0] + sign * mu[fd] * vdirs[1 + fd]
+            iw = float(invw) * 2.0 * mu[fd] * mu[fd] * \
+                (1.0 + mu[fd] * mu[fd])
+            aref, dcoef = kbi(gap, jv, solref_c, solimp_c, max(iw, 1e-12))
+            rows.append((jrow, aref, dcoef))
+
+      for g in _ground_groups(m):
+        for pi in range(g.count):
+          g1, g2 = int(g.geom1[pi]), int(g.geom2[pi])
+          ci = meta[(g1, g2)]
+          bid = int(m.geom_bodyid[g2])
+          # static plane frame (world body)
+          pq = c["geom_quat"][g1]
+          import numpy as _np
+          def rotq(qq, v):
+            w, x, y, z = [float(t) for t in qq]
+            R = _np.array([
+                [1-2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y)],
+                [2*(x*y+w*z), 1-2*(x*x+z*z), 2*(y*z-w*x)],
+                [2*(x*z-w*y), 2*(y*z+w*x), 1-2*(x*x+y*y)]])
+            return R @ _np.asarray(v)
+          n_pl = rotq(pq, [0, 0, 1.0])
+          p_pl = _np.asarray(c["geom_pos"][g1], dtype=_np.float64)
+          gpos, gquat = geom_world(g2, bid)
+          size = c["geom_size"][g2]
+          gtype = int(m.geom_type[g2])
+          def plane_h(pt):
+            return (float(n_pl[0]) * (pt[0] - float(p_pl[0])) +
+                    float(n_pl[1]) * (pt[1] - float(p_pl[1])) +
+                    float(n_pl[2]) * (pt[2] - float(p_pl[2])))
+          if gtype == coll.SPHERE:
+            r0 = float(size[0])
+            h_c = plane_h(gpos)
+            dist = h_c - r0
+            pt = lm.vsub(gpos, lm.vscale(lm.const_vec3(n_pl, like),
+                                         r0 + 0.5 * dist))
+            add_contact(bid, pt, dist, n_pl, ci)
+          elif gtype == coll.CAPSULE:
+            r0, hl = float(size[0]), float(size[1])
+            ax = lm.qrot(gquat, cv([0, 0, 1.0]))
+            for sgn in (1.0, -1.0):
+              end = lm.vadd(gpos, lm.vscale(ax, sgn * hl))
+              h_c = plane_h(end)
+              dist = h_c - r0
+              pt = lm.vsub(end, lm.vscale(lm.const_vec3(n_pl, like),
+                                          r0 + 0.5 * dist))
+              add_contact(bid, pt, dist, n_pl, ci + 0)
+          elif gtype == coll.BOX:
+            for sx in (-1, 1):
+              for sy in (-1, 1):
+                for sz in (-1, 1):
+                  corner_l = [sx * float(size[0]), sy * float(size[1]),
+                              sz * float(size[2])]
+                  cw = lm.vadd(gpos, lm.qrot(gquat, cv(corner_l)))
+                  dist = plane_h(cw)
+                  pt = lm.vsub(cw, lm.vscale(
+                      lm.const_vec3(n_pl, like), 0.5 * dist))
+                  add_contact(bid, pt, dist, n_pl, ci)
+
+    qfrc_constraint = [like * 0.0 for _ in range(nv)]
+    if rows:
+      # masked Newton on qacc: H = M + J^T D_act J
       a0 = lm.chol_solve_sym(mrows, rhs)  # qacc_smooth
       a = list(a0)
       for _ in range(3):
-        grad = [like * 0.0 for _ in range(nv)]
-        hdiag = [like * 0.0 for _ in range(nv)]
         # M (a - a0)
         ma = [sum(mrows[i][j] * (a[j] - a0[j]) for j in range(nv))
               for i in range(nv)]
-        for dadr, sign, aref, dcoef in rows:
-          jar = sign * a[dadr] - aref
+        grad = [like * 0.0 for _ in range(nv)]
+        hadd = [[like * 0.0 for _ in range(nv)] for _ in range(nv)]
+        for jrow, aref, dcoef in rows:
+          jar = sum(jrow[i] * a[i] for i in range(nv)
+                    if jrow[i] is not None) - aref
           act = dcoef * (jar < 0)
-          grad[dadr] = grad[dadr] + sign * act * jar
-          hdiag[dadr] = hdiag[dadr] + act
-        hrows = [[mrows[i][j] + (hdiag[i] if i == j else 0.0)
-                  for j in range(nv)] for i in range(nv)]
+          for i in range(nv):
+            if jrow[i] is None:
+              continue
+            grad[i] = grad[i] + jrow[i] * act * jar
+            for jj in range(i, nv):
+              if jrow[jj] is None:
+                continue
+              hadd[i][jj] = hadd[i][jj] + act * jrow[i] * jrow[jj]
+        hrows = [[mrows[i][jj] + (hadd[i][jj] if jj >= i else hadd[jj][i])
+                  for jj in range(nv)] for i in range(nv)]
         gtot = [ma[i] + grad[i] for i in range(nv)]
         step = lm.chol_solve_sym(hrows, gtot)
         a = [a[i] - step[i] for i in range(nv)]
-      for dadr, sign, aref, dcoef in rows:
-        jar = sign * a[dadr] - aref
+      for jrow, aref, dcoef in rows:
+        jar = sum(jrow[i] * a[i] for i in range(nv)
+                  if jrow[i] is not None) - aref
         act = dcoef * (jar < 0)
-        qfrc_constraint[dadr] = qfrc_constraint[dadr] - sign * act * jar
+        for i in range(nv):
+          if jrow[i] is not None:
+            qfrc_constraint[i] = qfrc_constraint[i] - jrow[i] * act * jar
       rhs = [rhs[i] + qfrc_constraint[i] for i in range(nv)]
 
     # ---- implicit-damping Euler ----
@@ -370,7 +592,26 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     qpos_new = list(qpos)
     for j in range(m.njnt):
       qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-      qpos_new[qadr] = qpos_new[qadr] + h * qvel_new[dadr]
+      if int(m.jnt_type[j]) == FREE:
+        for k in range(3):
+          qpos_new[qadr + k] = qpos_new[qadr + k] + h * qvel_new[dadr + k]
+        # local-frame quaternion integration (mju_quatIntegrate)
+        w = (qvel_new[dadr + 3], qvel_new[dadr + 4], qvel_new[dadr + 5])
+        angle = jnp.sqrt(w[0]**2 + w[1]**2 + w[2]**2)
+        safe = jnp.maximum(angle, 1e-12)
+        axis = (w[0] / safe, w[1] / safe, w[2] / safe)
+        half = 0.5 * angle * h
+        sh, ch = jnp.sin(half), jnp.cos(half)
+        dq = (ch, axis[0] * sh, axis[1] * sh, axis[2] * sh)
+        q0 = (qpos_new[qadr + 3], qpos_new[qadr + 4], qpos_new[qadr + 5],
+              qpos_new[qadr + 6])
+        qn = lm.qmul(q0, dq)
+        norm = jnp.sqrt(qn[0]**2 + qn[1]**2 + qn[2]**2 + qn[3]**2)
+        inv = 1.0 / jnp.maximum(norm, 1e-12)
+        for k in range(4):
+          qpos_new[qadr + 3 + k] = qn[k] * inv
+      else:
+        qpos_new[qadr] = qpos_new[qadr] + h * qvel_new[dadr]
     return qpos_new, qvel_new
 
   def kernel(qpos_ref, qvel_ref, values_ref, out_ref):
@@ -388,6 +629,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
   @jax.jit
   def rollout(qpos0, qvel0, values):
     k = qpos0.shape[-1]
+    if nu == 0:  # pallas rejects zero-size operands
+      values = jnp.zeros((1, k), qpos0.dtype)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((horizon, nq + nv, k), qpos0.dtype),
