@@ -132,3 +132,32 @@ def test_lane_kernel_joint_limits_match_pipeline():
     d = step(d)
   # the stop held: slider stays at ~1.8 despite constant outward push
   assert float(out[-1, 0, 0]) < 1.85
+
+
+def test_lane_kernel_ground_contact_matches_pipeline():
+  """Plane-sphere contact inside the lane kernel (free-joint ball drop)
+  reproduces the pipeline's constrained dynamics exactly."""
+  import mujoco
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.physics import model as M
+  from tests import models as tm
+
+  mjm = mujoco.MjModel.from_xml_string(tm.BOUNCE)
+  m = M.put_model(mjm)
+  assert step_lane.supports(m, ground_only=True)
+  h_hor, k = 25, 4
+  kernel = step_lane.build_rollout_kernel(m, h_hor, 1, interpret=True)
+  q0 = np.tile(mjm.qpos0[:, None], (1, k)).astype(np.float32)
+  q0[2, :] = 0.16
+  v0 = np.zeros((m.nv, k), np.float32)
+  v0[2, :] = -0.5
+  out = kernel(jnp.asarray(q0), jnp.asarray(v0),
+               jnp.zeros((0, k), jnp.float32))
+  d = M.make_data(m).replace(qpos=jnp.asarray(q0[:, 0]),
+                             qvel=jnp.asarray(v0[:, 0]))
+  step = jax.jit(lambda d: F.step(m, d))
+  for t in range(h_hor):
+    ref = np.concatenate([np.asarray(d.qpos), np.asarray(d.qvel)])
+    np.testing.assert_allclose(out[t, :, 0], ref, atol=3e-4)
+    d = step(d)
