@@ -43,7 +43,7 @@ class LiveLoop:
     self._physics = threading.Thread(target=self._physics_loop, daemon=True)
     self._physics.start()
 
-  def run_before_step(self, fn: Callable, timeout: float = 10.0):
+  def run_before_step(self, fn: Callable, timeout: float = 60.0):
     """Execute fn on the physics thread before its next step
     (reference RunBeforeStep pattern, agent.cc:331-351)."""
     done = threading.Event()
@@ -60,13 +60,7 @@ class LiveLoop:
     n = 0
     while not self._stop.is_set():
       t0 = time.perf_counter()
-      if n % self.steps_per_plan == 0:
-        try:
-          self.agent.plan_iteration()
-        except Exception:
-          pass
-      n += 1
-      # drain pending jobs
+      # drain pending jobs FIRST so RPCs are never starved by planning
       while True:
         try:
           fn, done, out = self._jobs.get_nowait()
@@ -77,6 +71,12 @@ class LiveLoop:
         except Exception as e:  # surface to the RPC thread
           out[1] = e
         done.set()
+      if n % self.steps_per_plan == 0:
+        try:
+          self.agent.plan_iteration()
+        except Exception:
+          pass
+      n += 1
       try:
         self.agent.step_env()
       except Exception as e:  # keep the loop alive; report once
