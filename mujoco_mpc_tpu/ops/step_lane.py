@@ -110,7 +110,8 @@ def _static(m: Model):
 
 
 def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
-                         interpret: bool = False) -> Callable:
+                         interpret: bool = False, unroll: bool = True,
+                         contact_types=None) -> Callable:
   """Returns fn(qpos0 (nq,K), qvel0 (nv,K), values (P*nu, K)) ->
   states (horizon, nq+nv, K) for a zero-order-hold spline with
   node_of_step[t] = floor(t * P / horizon) (the planner's uniform grid).
@@ -495,6 +496,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
             rows.append((jrow, aref, dcoef))
 
       for g in _ground_groups(m):
+        if contact_types is not None and g.types[1] not in contact_types:
+          continue
         for pi in range(g.count):
           g1, g2 = int(g.geom1[pi]), int(g.geom2[pi])
           ci = meta[(g1, g2)]
@@ -617,14 +620,30 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
   def kernel(qpos_ref, qvel_ref, values_ref, out_ref):
     qpos = [qpos_ref[i, :] for i in range(nq)]
     qvel = [qvel_ref[i, :] for i in range(nv)]
-    for t in range(horizon):
-      for i in range(nq):
-        out_ref[t, i, :] = qpos[i]
-      for i in range(nv):
-        out_ref[t, nq + i, :] = qvel[i]
-      node = node_of_step[t]
-      ctrl = [values_ref[node * nu + u, :] for u in range(nu)]
-      qpos, qvel = step_body(qpos, qvel, ctrl)
+    if unroll:
+      for t in range(horizon):
+        for i in range(nq):
+          out_ref[t, i, :] = qpos[i]
+        for i in range(nv):
+          out_ref[t, nq + i, :] = qvel[i]
+        node = node_of_step[t]
+        ctrl = [values_ref[node * nu + u, :] for u in range(nu)]
+        qpos, qvel = step_body(qpos, qvel, ctrl)
+    else:
+      # horizon as an in-kernel loop: the program is ONE step body
+      def body(t, carry):
+        qpos, qvel = list(carry[0]), list(carry[1])
+        for i in range(nq):
+          out_ref[t, i, :] = qpos[i]
+        for i in range(nv):
+          out_ref[t, nq + i, :] = qvel[i]
+        node = jnp.minimum((t * num_nodes) // max(horizon - 1, 1),
+                           num_nodes - 1)
+        ctrl = [values_ref[node * nu + u, :] for u in range(nu)]
+        qpos, qvel = step_body(qpos, qvel, ctrl)
+        return (tuple(qpos), tuple(qvel))
+
+      jax.lax.fori_loop(0, horizon, body, (tuple(qpos), tuple(qvel)))
 
   @jax.jit
   def rollout(qpos0, qvel0, values):
