@@ -645,13 +645,34 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
       jax.lax.fori_loop(0, horizon, body, (tuple(qpos), tuple(qvel)))
 
+  # candidate-block grid: each grid step processes KB lanes so the
+  # recorded trajectory block stays within the ~16MB VMEM budget
+  KB = 1024
+
   @jax.jit
   def rollout(qpos0, qvel0, values):
     k = qpos0.shape[-1]
     if nu == 0:  # pallas rejects zero-size operands
       values = jnp.zeros((1, k), qpos0.dtype)
+    nvals = values.shape[0]
+    if k <= KB or k % KB != 0:
+      return pl.pallas_call(
+          kernel,
+          out_shape=jax.ShapeDtypeStruct((horizon, nq + nv, k),
+                                         qpos0.dtype),
+          interpret=interpret,
+      )(qpos0, qvel0, values)
+    grid = (k // KB,)
     return pl.pallas_call(
         kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, KB), lambda i: (0, i)),
+            pl.BlockSpec((nv, KB), lambda i: (0, i)),
+            pl.BlockSpec((nvals, KB), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((horizon, nq + nv, KB),
+                               lambda i: (0, 0, i)),
         out_shape=jax.ShapeDtypeStruct((horizon, nq + nv, k), qpos0.dtype),
         interpret=interpret,
     )(qpos0, qvel0, values)
