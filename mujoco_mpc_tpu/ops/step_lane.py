@@ -647,7 +647,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
   # candidate-block grid: each grid step processes KB lanes so the
   # recorded trajectory block stays within the ~16MB VMEM budget
-  KB = 1024
+  KB = 512
 
   @jax.jit
   def rollout(qpos0, qvel0, values):
