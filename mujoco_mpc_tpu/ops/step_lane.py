@@ -552,18 +552,21 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
     qfrc_constraint = [like * 0.0 for _ in range(nv)]
     if rows:
-      # masked Newton on qacc: H = M + J^T D_act J
+      # masked Newton on qacc with exact 1-D line search
+      # (physics/constraint.solve schedule: 4 Newton x 4 line-search iters)
       a0 = lm.chol_solve_sym(mrows, rhs)  # qacc_smooth
       a = list(a0)
-      for _ in range(3):
+      for _ in range(4):
         # M (a - a0)
         ma = [sum(mrows[i][j] * (a[j] - a0[j]) for j in range(nv))
               for i in range(nv)]
         grad = [like * 0.0 for _ in range(nv)]
         hadd = [[like * 0.0 for _ in range(nv)] for _ in range(nv)]
+        jars = []
         for jrow, aref, dcoef in rows:
           jar = sum(jrow[i] * a[i] for i in range(nv)
                     if jrow[i] is not None) - aref
+          jars.append(jar)
           act = dcoef * (jar < 0)
           for i in range(nv):
             if jrow[i] is None:
@@ -576,8 +579,26 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         hrows = [[mrows[i][jj] + (hadd[i][jj] if jj >= i else hadd[jj][i])
                   for jj in range(nv)] for i in range(nv)]
         gtot = [ma[i] + grad[i] for i in range(nv)]
-        step = lm.chol_solve_sym(hrows, gtot)
-        a = [a[i] - step[i] for i in range(nv)]
+        pstep = [-v for v in lm.chol_solve_sym(hrows, gtot)]
+
+        # exact-ish line search along pstep (piecewise-quadratic phi)
+        jps = [sum(jrow[i] * pstep[i] for i in range(nv)
+                   if jrow[i] is not None) for jrow, _, _ in rows]
+        mp = [sum(mrows[i][j] * pstep[j] for j in range(nv))
+              for i in range(nv)]
+        pmp = sum(pstep[i] * mp[i] for i in range(nv))
+        pma = sum(pstep[i] * ma[i] for i in range(nv))
+        tls = jnp.ones_like(like)
+        for _ in range(4):
+          dphi = pma + tls * pmp
+          ddphi = pmp
+          for r, (jrow, aref, dcoef) in enumerate(rows):
+            jart = jars[r] + tls * jps[r]
+            act = dcoef * (jart < 0)
+            dphi = dphi + act * jart * jps[r]
+            ddphi = ddphi + act * jps[r] * jps[r]
+          tls = tls - dphi / jnp.maximum(ddphi, 1e-12)
+        a = [a[i] + tls * pstep[i] for i in range(nv)]
       for jrow, aref, dcoef in rows:
         jar = sum(jrow[i] * a[i] for i in range(nv)
                   if jrow[i] is not None) - aref
