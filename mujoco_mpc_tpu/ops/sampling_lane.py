@@ -24,19 +24,42 @@ from mujoco_mpc_tpu.planners import sampling
 
 
 def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
-                          interpret: bool = False):
-  """Jittable optimizer for lane-kernel-eligible tasks."""
+                          interpret: bool = False, solver_iters=None,
+                          solver_ls_iters=None, contact_types=None,
+                          unroll: bool = True):
+  """Jittable optimizer for lane-kernel-eligible tasks.
+
+  Residuals come from one of two task hooks, preferred in order:
+  1. `lane_residual_spec()` — the residual is evaluated IN-KERNEL per
+     step (full derived quantities: FK, com, body velocities,
+     actuator forces) and rides the rollout's VMEM residency; or
+  2. `residual_from_rollout(states, ctrls, times)` — the residual is
+     reconstructed on the XLA side from the raw (H, nq+nv, K) states
+     (only viable for tasks whose cost needs no FK).
+  """
   m = getattr(task, "plan_model", task.model)
-  assert step_lane.supports(m), "model outside the lane kernel class"
+  assert step_lane.supports(m, ground_only=True), \
+      "model outside the lane kernel class"
   assert config.interp == spline_lib.Interpolation.ZERO
-  assert hasattr(task, "residual_from_rollout"), \
-      "task must implement residual_from_rollout(states, ctrls, times)"
+  spec = (task.lane_residual_spec()
+          if hasattr(task, "lane_residual_spec") else None)
+  assert spec is not None or hasattr(task, "residual_from_rollout"), \
+      "task must implement lane_residual_spec or residual_from_rollout"
   horizon = config.horizon
   p = config.num_spline_points
   nu, nq, nv = m.nu, m.nq, m.nv
   k_total = config.num_trajectory
-  kernel = step_lane.build_rollout_kernel(m, horizon, p,
-                                          interpret=interpret)
+  if spec is not None:
+    kernel = step_lane.build_rollout_kernel(
+        m, horizon, p, interpret=interpret, unroll=unroll,
+        contact_types=contact_types, solver_iters=solver_iters,
+        solver_ls_iters=solver_ls_iters, residual_fn=spec["fn"],
+        residual_dim=spec["dim"], naux=spec["naux"])
+  else:
+    kernel = step_lane.build_rollout_kernel(
+        m, horizon, p, interpret=interpret, unroll=unroll,
+        contact_types=contact_types, solver_iters=solver_iters,
+        solver_ls_iters=solver_ls_iters)
   h = float(jax.device_get(m.opt.timestep))
   node_of = np.array([min(int(t * p / max(horizon - 1, 1)), p - 1)
                       for t in range(horizon)])
@@ -54,12 +77,19 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
     values_lane = candidates.reshape(k_total, p * nu).T  # (P*nu, K)
     qpos0 = jnp.tile(d0.qpos[:, None], (1, k_total))
     qvel0 = jnp.tile(d0.qvel[:, None], (1, k_total))
-    states = kernel(qpos0, qvel0, values_lane)  # (H, nq+nv, K)
-
-    times = d0.time + h * jnp.arange(horizon, dtype=dtype)
-    ctrls = candidates[:, node_of, :]            # (K, H, nu)
-    ctrls = jnp.moveaxis(ctrls, 0, -1)           # (H, nu, K)
-    residuals = task.residual_from_rollout(states, ctrls, times)
+    if spec is not None:
+      aux = jnp.tile(
+          spec["make_aux"](d0, task.residual_params)[:, None].astype(dtype),
+          (1, k_total))
+      out = kernel(qpos0, qvel0, values_lane, aux)  # (H, nq+nv+nr, K)
+      states = out[:, :nq + nv]
+      residuals = out[:, nq + nv:]                  # (H, nr, K)
+    else:
+      states = kernel(qpos0, qvel0, values_lane)    # (H, nq+nv, K)
+      times = d0.time + h * jnp.arange(horizon, dtype=dtype)
+      ctrls = candidates[:, node_of, :]             # (K, H, nu)
+      ctrls = jnp.moveaxis(ctrls, 0, -1)            # (H, nu, K)
+      residuals = task.residual_from_rollout(states, ctrls, times)
     # (H, nr, K) -> costs (K,)
     costs = task.cost_spec.cost(jnp.moveaxis(residuals, 1, -1))  # (H, K)
     returns = jnp.mean(costs, axis=0)
@@ -83,12 +113,13 @@ class LaneSamplingPlanner:
   """Drop-in SamplingPlanner using the Pallas rollout kernel."""
 
   def __init__(self, task, config: Optional[sampling.SamplingConfig] = None,
-               dtype=jnp.float32, interpret: bool = False):
+               dtype=jnp.float32, interpret: bool = False, **kernel_kw):
     self.task = task
     self.m = getattr(task, "plan_model", task.model)
     self.config = config or sampling.make_config(task, dtype)
     self._optimize = jax.jit(
-        make_lane_optimize_fn(task, self.config, interpret=interpret))
+        make_lane_optimize_fn(task, self.config, interpret=interpret,
+                              **kernel_kw))
     self.policy = sampling.initial_policy(self.m, self.config, dtype)
 
   def optimize(self, key, d0):

@@ -106,28 +106,56 @@ def _static(m: Model):
       dof_invweight0=g(m.dof_invweight0),
       geom_pos=g(m.geom_pos), geom_quat=g(m.geom_quat),
       geom_size=g(m.geom_size), body_invweight0=g(m.body_invweight0),
+      forcerange=g(m.actuator_forcerange),
+      forcelimited=g(m.actuator_forcelimited),
+      site_pos=g(m.site_pos) if m.nsite else None,
   )
 
 
 def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                          interpret: bool = False, unroll: bool = True,
-                         contact_types=None) -> Callable:
+                         contact_types=None, solver_iters=None,
+                         solver_ls_iters=None, residual_fn=None,
+                         residual_dim=0, naux=0) -> Callable:
   """Returns fn(qpos0 (nq,K), qvel0 (nv,K), values (P*nu, K)) ->
   states (horizon, nq+nv, K) for a zero-order-hold spline with
   node_of_step[t] = floor(t * P / horizon) (the planner's uniform grid).
 
   K must tile to the TPU lane layout (multiples of 128 recommended).
+
+  solver_iters / solver_ls_iters default to the model Option's schedule
+  (exact vs the jnp pipeline). For planning rollouts a cheaper schedule
+  (e.g. solver_ls_iters=0 -> unit Newton steps, ~1.8x faster on the
+  quadruped) is a legitimate planning-model approximation, in the same
+  spirit as the reference's lower-fidelity planning models
+  (mjpc/tasks: separate plan vs simulate models).
+
+  residual_fn, if given, is evaluated IN-KERNEL once per step on the
+  pre-step state (matching rollout.py's per-step cost semantics) and its
+  residual_dim rows are appended to the output:
+  out (horizon, nq+nv+residual_dim, K). It receives a ctx dict exposing
+  the step's internal quantities (qpos, qvel, ctrl, xpos, xquat, xipos,
+  subtree_com, ref, cvel, act_force, aux rows, step index t, h, lm, cv)
+  so task costs are scored at VMEM bandwidth with zero extra FK work —
+  the TPU answer to the reference evaluating residuals inside its
+  threaded rollout loop (mjpc/trajectory.cc Rollout -> residual).
+  aux (naux, K) carries per-candidate scalars (time origin, goal,
+  residual params).
   """
   assert supports(m, ground_only=True), \
       "model outside the kernel's class"
   c = _static(m)
   nq, nv, nu, nb = m.nq, m.nv, m.nu, m.nbody
+  n_newton = int(m.opt.iterations) if solver_iters is None else int(solver_iters)
+  n_ls = (int(m.opt.ls_iterations) if solver_ls_iters is None
+          else int(solver_ls_iters))
   h = c["timestep"]
   node_of_step = [min(int(t * num_nodes / max(horizon - 1, 1)),
                       num_nodes - 1) for t in range(horizon)]
 
-  def step_body(qpos, qvel, ctrl):
-    """One physics step on component lists; returns (qpos', qvel')."""
+  def step_body(qpos, qvel, ctrl, t_step=None, aux=None):
+    """One physics step on component lists; returns (qpos', qvel', res)
+    where res is the residual_fn row list (or None)."""
     like = qpos[0]
 
     def cv(v):
@@ -352,6 +380,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     for i in range(nv):
       qfrc[i] = qfrc[i] - float(c["dof_damping"][i]) * qvel[i]
 
+    act_force = []
     for u in range(nu):
       tid = int(m.actuator_trnid[u, 0])
       dadr = int(m.jnt_dofadr[tid])
@@ -374,9 +403,23 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         bp = c["biasprm"][u]
         force = force + float(bp[0]) + float(bp[1]) * length + \
             float(bp[2]) * velocity
+      if c["forcelimited"][u]:
+        force = jnp.clip(force, float(c["forcerange"][u][0]),
+                         float(c["forcerange"][u][1]))
+      act_force.append(force)
       qfrc[dadr] = qfrc[dadr] + gear * force
 
     rhs = [qfrc[i] - qfrc_bias[i] for i in range(nv)]
+
+    # ---- in-kernel task residual (pre-step state, full derived ctx) ----
+    res = None
+    if residual_fn is not None:
+      res = residual_fn(dict(
+          m=m, c=c, lm=lm, cv=cv, like=like, h=h, t=t_step, aux=aux,
+          qpos=qpos, qvel=qvel, ctrl=ctrl, xpos=xpos, xquat=xquat,
+          xipos=xipos, subtree_com=subtree_com, ref=ref, cvel=cvel,
+          act_force=act_force))
+      assert len(res) == residual_dim, (len(res), residual_dim)
 
     # ---- constraint rows: joint limits + ground contacts ----
     # generic one-sided quadratic penalty rows solved with masked Newton
@@ -553,10 +596,11 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     qfrc_constraint = [like * 0.0 for _ in range(nv)]
     if rows:
       # masked Newton on qacc with exact 1-D line search
-      # (physics/constraint.solve schedule: 4 Newton x 4 line-search iters)
+      # (physics/constraint.solve schedule: opt.iterations Newton x
+      # opt.ls_iterations line-search iters; overridable per-kernel)
       a0 = lm.chol_solve_sym(mrows, rhs)  # qacc_smooth
       a = list(a0)
-      for _ in range(4):
+      for _ in range(n_newton):
         # M (a - a0)
         ma = [sum(mrows[i][j] * (a[j] - a0[j]) for j in range(nv))
               for i in range(nv)]
@@ -581,24 +625,27 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         gtot = [ma[i] + grad[i] for i in range(nv)]
         pstep = [-v for v in lm.chol_solve_sym(hrows, gtot)]
 
-        # exact-ish line search along pstep (piecewise-quadratic phi)
-        jps = [sum(jrow[i] * pstep[i] for i in range(nv)
-                   if jrow[i] is not None) for jrow, _, _ in rows]
-        mp = [sum(mrows[i][j] * pstep[j] for j in range(nv))
-              for i in range(nv)]
-        pmp = sum(pstep[i] * mp[i] for i in range(nv))
-        pma = sum(pstep[i] * ma[i] for i in range(nv))
-        tls = jnp.ones_like(like)
-        for _ in range(4):
-          dphi = pma + tls * pmp
-          ddphi = pmp
-          for r, (jrow, aref, dcoef) in enumerate(rows):
-            jart = jars[r] + tls * jps[r]
-            act = dcoef * (jart < 0)
-            dphi = dphi + act * jart * jps[r]
-            ddphi = ddphi + act * jps[r] * jps[r]
-          tls = tls - dphi / jnp.maximum(ddphi, 1e-12)
-        a = [a[i] + tls * pstep[i] for i in range(nv)]
+        if n_ls > 0:
+          # exact-ish line search along pstep (piecewise-quadratic phi)
+          jps = [sum(jrow[i] * pstep[i] for i in range(nv)
+                     if jrow[i] is not None) for jrow, _, _ in rows]
+          mp = [sum(mrows[i][j] * pstep[j] for j in range(nv))
+                for i in range(nv)]
+          pmp = sum(pstep[i] * mp[i] for i in range(nv))
+          pma = sum(pstep[i] * ma[i] for i in range(nv))
+          tls = jnp.ones_like(like)
+          for _ in range(n_ls):
+            dphi = pma + tls * pmp
+            ddphi = pmp
+            for r, (jrow, aref, dcoef) in enumerate(rows):
+              jart = jars[r] + tls * jps[r]
+              act = dcoef * (jart < 0)
+              dphi = dphi + act * jart * jps[r]
+              ddphi = ddphi + act * jps[r] * jps[r]
+            tls = tls - dphi / jnp.maximum(ddphi, 1e-12)
+          a = [a[i] + tls * pstep[i] for i in range(nv)]
+        else:
+          a = [a[i] + pstep[i] for i in range(nv)]
       for jrow, aref, dcoef in rows:
         jar = sum(jrow[i] * a[i] for i in range(nv)
                   if jrow[i] is not None) - aref
@@ -636,9 +683,18 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
           qpos_new[qadr + 3 + k] = qn[k] * inv
       else:
         qpos_new[qadr] = qpos_new[qadr] + h * qvel_new[dadr]
-    return qpos_new, qvel_new
+    return qpos_new, qvel_new, res
 
-  def kernel(qpos_ref, qvel_ref, values_ref, out_ref):
+  nr = residual_dim if residual_fn is not None else 0
+  naux_eff = max(naux, 1) if residual_fn is not None else 0
+
+  def kernel(qpos_ref, qvel_ref, values_ref, *rest):
+    if residual_fn is not None:
+      aux_ref, out_ref = rest
+      aux = [aux_ref[i, :] for i in range(naux)]
+    else:
+      (out_ref,) = rest
+      aux = None
     qpos = [qpos_ref[i, :] for i in range(nq)]
     qvel = [qvel_ref[i, :] for i in range(nv)]
     if unroll:
@@ -649,7 +705,9 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
           out_ref[t, nq + i, :] = qvel[i]
         node = node_of_step[t]
         ctrl = [values_ref[node * nu + u, :] for u in range(nu)]
-        qpos, qvel = step_body(qpos, qvel, ctrl)
+        qpos, qvel, res = step_body(qpos, qvel, ctrl, t, aux)
+        for r in range(nr):
+          out_ref[t, nq + nv + r, :] = res[r]
     else:
       # horizon as an in-kernel loop: the program is ONE step body
       def body(t, carry):
@@ -661,41 +719,73 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         node = jnp.minimum((t * num_nodes) // max(horizon - 1, 1),
                            num_nodes - 1)
         ctrl = [values_ref[node * nu + u, :] for u in range(nu)]
-        qpos, qvel = step_body(qpos, qvel, ctrl)
+        qpos, qvel, res = step_body(qpos, qvel, ctrl, t, aux)
+        for r in range(nr):
+          out_ref[t, nq + nv + r, :] = res[r]
         return (tuple(qpos), tuple(qvel))
 
       jax.lax.fori_loop(0, horizon, body, (tuple(qpos), tuple(qvel)))
 
   # candidate-block grid: each grid step processes KB lanes so the
   # recorded trajectory block stays within the ~16MB VMEM budget
+  # (~3MB for the output block leaves room for the step working set;
+  # wider outputs — e.g. with in-kernel residual rows — halve KB)
   KB = 512
+  while KB > 128 and horizon * (nq + nv + residual_dim) * KB * 4 > 3_000_000:
+    KB //= 2
 
   @jax.jit
-  def rollout(qpos0, qvel0, values):
+  def _rollout_jit(qpos0, qvel0, values, aux=None):
     k = qpos0.shape[-1]
     if nu == 0:  # pallas rejects zero-size operands
       values = jnp.zeros((1, k), qpos0.dtype)
     nvals = values.shape[0]
+    inputs = [qpos0, qvel0, values]
+    if residual_fn is not None:
+      if aux is None or naux == 0:
+        aux = jnp.zeros((naux_eff, k), qpos0.dtype)
+      inputs.append(aux)
+    nout = nq + nv + nr
     if k <= KB or k % KB != 0:
       return pl.pallas_call(
           kernel,
-          out_shape=jax.ShapeDtypeStruct((horizon, nq + nv, k),
+          out_shape=jax.ShapeDtypeStruct((horizon, nout, k),
                                          qpos0.dtype),
           interpret=interpret,
-      )(qpos0, qvel0, values)
+      )(*inputs)
     grid = (k // KB,)
+    in_specs = [
+        pl.BlockSpec((nq, KB), lambda i: (0, i)),
+        pl.BlockSpec((nv, KB), lambda i: (0, i)),
+        pl.BlockSpec((nvals, KB), lambda i: (0, i)),
+    ]
+    if residual_fn is not None:
+      in_specs.append(pl.BlockSpec((naux_eff, KB), lambda i: (0, i)))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((nq, KB), lambda i: (0, i)),
-            pl.BlockSpec((nv, KB), lambda i: (0, i)),
-            pl.BlockSpec((nvals, KB), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((horizon, nq + nv, KB),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((horizon, nout, KB),
                                lambda i: (0, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((horizon, nq + nv, k), qpos0.dtype),
+        out_shape=jax.ShapeDtypeStruct((horizon, nout, k), qpos0.dtype),
         interpret=interpret,
-    )(qpos0, qvel0, values)
+    )(*inputs)
 
+  def rollout(qpos0, qvel0, values, aux=None):
+    return _rollout_jit(qpos0, qvel0, values, aux)
+
+  def step_array(qpos, qvel, ctrl, t=0, aux=None):
+    """One physics step as plain jnp on (dim, K) arrays — the same
+    step_body the Pallas kernel runs, without the kernel wrapper. Used
+    by tests (interpret-mode Pallas dispatch is orders of magnitude
+    slower) and usable as a lane-layout XLA step."""
+    qp = [qpos[i] for i in range(nq)]
+    qv = [qvel[i] for i in range(nv)]
+    ct = [ctrl[i] for i in range(nu)]
+    ax = None if aux is None else [aux[i] for i in range(aux.shape[0])]
+    qpn, qvn, res = step_body(qp, qv, ct, t, ax)
+    out = (jnp.stack(qpn), jnp.stack(qvn))
+    return out + ((jnp.stack(res),) if res is not None else ())
+
+  rollout.step_array = step_array
   return rollout

@@ -210,6 +210,121 @@ class QuadrupedFlat(base.Task):
   def transition(self, d: Data) -> Data:
     return d
 
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py (component form).
+
+    Mirrors residual() above term by term so the lane-kernel fast path
+    scores the FULL task cost inside the Pallas rollout kernel (the
+    reference evaluates residuals inside its threaded rollout loop,
+    mjpc/trajectory.cc; here they ride the VMEM-resident FK already
+    done for physics). aux rows: [time0, goal_x, goal_y, cadence,
+    amplitude, duty, cos(heading), sin(heading)].
+    """
+    import numpy as np
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    geom_pos = np.asarray(g(m.geom_pos))
+    site_pos = np.asarray(g(m.site_pos))
+    geom_bodyid = np.asarray(m.geom_bodyid)
+    site_bodyid = np.asarray(m.site_bodyid)
+    body_mass = np.asarray(g(m.body_mass))
+    body_inertia = np.asarray(g(m.body_inertia))
+    body_iquat = np.asarray(g(m.body_iquat))
+    parent = np.asarray(m.body_parentid)
+    trunk = self._trunk
+    feet = [(gid, int(geom_bodyid[gid])) for gid in self._feet_geoms]
+    head_b = int(site_bodyid[self._head])
+    head_p = [float(v) for v in site_pos[self._head]]
+    home = np.asarray(g(self._home_joints))
+    gains = np.tile(np.asarray(POSTURE_GAIN), 4)
+    ids = []
+    for b in range(m.nbody):
+      a = b
+      while a not in (0, trunk):
+        a = int(parent[a])
+      if a == trunk:
+        ids.append(b)
+    total_mass = max(sum(float(body_mass[b]) for b in ids), 1e-12)
+    pi = float(np.pi)
+    fall_time = float(np.sqrt(2.0 * HEIGHT_GOAL / 9.81))
+
+    def fn(ctx):
+      lm, cv, like = ctx["lm"], ctx["cv"], ctx["like"]
+      qpos, aux = ctx["qpos"], ctx["aux"]
+      xpos, xquat, xipos = ctx["xpos"], ctx["xquat"], ctx["xipos"]
+      scom, ref, cvel = ctx["subtree_com"], ctx["ref"], ctx["cvel"]
+      t, h = ctx["t"], ctx["h"]
+      tt = float(t) if isinstance(t, int) else t.astype(like.dtype)
+      time = aux[0] + tt * h
+
+      fp = [lm.vadd(xpos[b], lm.qrot(xquat[b], cv(list(geom_pos[gid]))))
+            for gid, b in feet]
+      avg = tuple(sum(p[k] for p in fp) * 0.25 for k in range(3))
+      z = lm.qrot(xquat[trunk], cv([0.0, 0.0, 1.0]))
+      rows = [z[0], z[1], z[2] - 1.0]
+      rows.append(xipos[trunk][2] - avg[2] - HEIGHT_GOAL)
+      head = lm.vadd(xpos[head_b], lm.qrot(xquat[head_b], cv(head_p)))
+      rows += [head[0] - aux[1], head[1] - aux[2], like * 0.0]
+      cadence, amplitude, duty = aux[3], aux[4], aux[5]
+      phase = 2.0 * pi * cadence * time
+      for i in range(4):
+        ang = phase - 2.0 * pi * TROT_PHASE[i]
+        ang = jnp.mod(ang + pi, 2.0 * pi) - pi
+        ang = ang * 0.5 / jnp.maximum(1.0 - duty, 1e-3)
+        stp = jnp.abs(jnp.cos(jnp.clip(ang, -pi / 2, pi / 2)))
+        stp = amplitude * jnp.where(duty < 1.0, stp, 0.0)
+        target = FOOT_RADIUS + stp
+        rows.append(jnp.where(stp > 0, fp[i][2] - target, like * 0.0))
+      # balance: capture point vs average foot position
+      lins = {}
+      for b in ids:
+        ang_b, lin_b = cvel[b]
+        lins[b] = (ang_b, lm.vadd(
+            lin_b, lm.vcross(ang_b, lm.vsub(xipos[b], ref[b]))))
+      comvel = tuple(
+          sum(float(body_mass[b]) * lins[b][1][k] for b in ids) /
+          total_mass for k in range(3))
+      rows.append(scom[trunk][0] + fall_time * comvel[0] - avg[0])
+      rows.append(scom[trunk][1] + fall_time * comvel[1] - avg[1])
+      rows += [2e-2 * f for f in ctx["act_force"]]
+      for i in range(len(home)):
+        rows.append((qpos[7 + i] - float(home[i])) * float(gains[i]))
+      hd = lm.qrot(xquat[trunk], cv([1.0, 0.0, 0.0]))
+      nrm = jnp.maximum(jnp.sqrt(hd[0] ** 2 + hd[1] ** 2), 1e-8)
+      rows += [hd[0] / nrm - aux[6], hd[1] / nrm - aux[7]]
+      # angular momentum of the subtree about its com
+      am = [like * 0.0] * 3
+      for b in ids:
+        ang_b, lin_b = lins[b]
+        r = lm.vsub(xipos[b], scom[trunk])
+        dv = tuple(lin_b[k] - comvel[k] for k in range(3))
+        orb = lm.vcross(r, dv)
+        for k in range(3):
+          am[k] = am[k] + float(body_mass[b]) * orb[k]
+        iq = body_iquat[b]
+        q = lm.qmul(xquat[b],
+                    (jnp.ones_like(like) * float(iq[0]),
+                     jnp.ones_like(like) * float(iq[1]),
+                     jnp.ones_like(like) * float(iq[2]),
+                     jnp.ones_like(like) * float(iq[3])))
+        for kk in range(3):
+          e = [0.0, 0.0, 0.0]
+          e[kk] = 1.0
+          ek = lm.qrot(q, cv(e))
+          proj = ek[0] * ang_b[0] + ek[1] * ang_b[1] + ek[2] * ang_b[2]
+          for k in range(3):
+            am[k] = am[k] + float(body_inertia[b][kk]) * proj * ek[k]
+      rows += am
+      return rows
+
+    def make_aux(d0, params):
+      return jnp.stack([
+          d0.time, d0.mocap_pos[0, 0], d0.mocap_pos[0, 1],
+          params[0], params[1], params[2],
+          jnp.cos(params[3]), jnp.sin(params[3])])
+
+    return dict(dim=42, naux=8, fn=fn, make_aux=make_aux)
+
 
 class QuadrupedHill(QuadrupedFlat):
   """Uneven-terrain variant (reference task_hill uses an hfield; here the

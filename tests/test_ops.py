@@ -161,3 +161,51 @@ def test_lane_kernel_ground_contact_matches_pipeline():
     ref = np.concatenate([np.asarray(d.qpos), np.asarray(d.qvel)])
     np.testing.assert_allclose(out[t, :, 0], ref, atol=3e-4)
     d = step(d)
+
+def test_lane_kernel_quadruped_residual_matches_pipeline():
+  """In-kernel task residual rows (lane_residual_spec) must match the
+  pipeline residual evaluated at the same states/controls/time."""
+  import mujoco  # noqa: F401  (oracle import parity with other tests)
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.physics import collision as coll
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Quadruped Flat")
+  m = getattr(task, "plan_model", task.model)
+  spec = task.lane_residual_spec()
+  h_hor, k_c = 2, 4
+  # step_array: the kernel's step_body as plain jnp (the Pallas
+  # interpret-mode path is covered by the other lane tests; dispatching
+  # the quadruped's ~50k-op step through the interpreter takes ~20min)
+  kernel = step_lane.build_rollout_kernel(
+      m, 3, 2, interpret=True, contact_types=(coll.SPHERE,),
+      residual_fn=spec["fn"], residual_dim=spec["dim"], naux=spec["naux"])
+  step_lane_fn = jax.jit(kernel.step_array)
+  rng = np.random.default_rng(3)
+  d0 = task.make_data().replace(time=jnp.asarray(0.37, jnp.float32))
+  qpos0 = np.tile(np.asarray(jax.device_get(d0.qpos))[:, None], (1, k_c))
+  qpos0[7:] += 0.05 * rng.standard_normal((m.nq - 7, k_c))
+  qpos0[2] += 0.02 * rng.standard_normal(k_c)
+  qvel0 = 0.1 * rng.standard_normal((m.nv, k_c))
+  ctrl = jnp.asarray(rng.uniform(-0.3, 0.3, (m.nu, k_c)), jnp.float32)
+  aux = jnp.asarray(np.tile(np.asarray(jax.device_get(
+      spec["make_aux"](d0, task.residual_params)))[:, None], (1, k_c)),
+      jnp.float32)
+
+  h = float(jax.device_get(m.opt.timestep))
+  fwd = jax.jit(lambda d: F.forward(m, d))
+  qp = jnp.asarray(qpos0, jnp.float32)
+  qv = jnp.asarray(qvel0, jnp.float32)
+  for t in range(h_hor):
+    qp2, qv2, res = step_lane_fn(qp, qv, ctrl,
+                                 jnp.asarray(t, jnp.int32), aux)
+    assert res.shape == (spec["dim"], k_c)
+    for k in range(k_c):
+      d = d0.replace(qpos=qp[:, k], qvel=qv[:, k], ctrl=ctrl[:, k],
+                     time=d0.time + t * h)
+      ref = task.residual(m, fwd(d), task.residual_params)
+      np.testing.assert_allclose(np.asarray(res[:, k]),
+                                 np.asarray(ref), atol=5e-4,
+                                 err_msg=f"t={t} k={k}")
+    qp, qv = qp2, qv2
