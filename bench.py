@@ -35,6 +35,12 @@ except Exception:
 
 def measure_tpu_rollouts(task, num_trajectory, horizon, iters,
                          spline_points=3, exploration=0.04):
+  """Full predictive-sampling iterations/s (noise + K rollouts + full
+  task cost + argmin + policy update), converted to rollouts/s.
+
+  Default path: the lane-parallel Pallas rollout kernel with the task
+  residual evaluated in-kernel (ops/step_lane.py, ops/sampling_lane.py).
+  BENCH_PATH=xla falls back to the vmapped XLA pipeline planner."""
   from mujoco_mpc_tpu.planners import sampling
 
   config = sampling.SamplingConfig(
@@ -42,10 +48,19 @@ def measure_tpu_rollouts(task, num_trajectory, horizon, iters,
       num_spline_points=spline_points,
       exploration=jnp.asarray([exploration, 0.0]),
       horizon=horizon)
-  residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
-  optimize = jax.jit(sampling.make_optimize_fn(
-      task.model, residual_fn, task.cost_spec.cost, config))
-  policy = sampling.initial_policy(task.model, config)
+  use_lane = os.environ.get("BENCH_PATH", "lane") != "xla"
+  if use_lane:
+    from mujoco_mpc_tpu.ops import sampling_lane
+    from mujoco_mpc_tpu.physics import collision as coll
+    optimize = jax.jit(sampling_lane.make_lane_optimize_fn(
+        task, config, unroll=False, contact_types=(coll.SPHERE,)))
+    model = getattr(task, "plan_model", task.model)
+  else:
+    residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
+    optimize = jax.jit(sampling.make_optimize_fn(
+        task.model, residual_fn, task.cost_spec.cost, config))
+    model = task.model
+  policy = sampling.initial_policy(model, config)
   d0 = task.make_data()
   key = jax.random.PRNGKey(0)
 
