@@ -26,7 +26,7 @@ from mujoco_mpc_tpu.planners import sampling
 def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
                           interpret: bool = False, solver_iters=None,
                           solver_ls_iters=None, contact_types=None,
-                          unroll: bool = True):
+                          unroll: bool = True, mesh=None):
   """Jittable optimizer for lane-kernel-eligible tasks.
 
   Residuals come from one of two task hooks, preferred in order:
@@ -36,6 +36,13 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   2. `residual_from_rollout(states, ctrls, times)` — the residual is
      reconstructed on the XLA side from the raw (H, nq+nv, K) states
      (only viable for tasks whose cost needs no FK).
+
+  mesh, if given, shards the candidate (lane) axis across the mesh's
+  `rollout` axis with shard_map: each chip runs the Pallas kernel on
+  its K/n candidate slice, and the scoring/argmin after it is left to
+  GSPMD (local argmin + an ICI all-gather of (value, index)). This is
+  the multi-chip scaling story of SURVEY.md §2.10 — the reference fans
+  rollouts across CPU threads; here across chips.
   """
   m = getattr(task, "plan_model", task.model)
   assert step_lane.supports(m, ground_only=True), \
@@ -63,6 +70,19 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   h = float(jax.device_get(m.opt.timestep))
   node_of = np.array([min(int(t * p / max(horizon - 1, 1)), p - 1)
                       for t in range(horizon)])
+
+  if mesh is not None:
+    from jax.sharding import PartitionSpec as P
+    axis = mesh.axis_names[0]
+    lane = P(None, axis)
+    if spec is not None:
+      kernel = jax.shard_map(
+          kernel, mesh=mesh, in_specs=(lane, lane, lane, lane),
+          out_specs=P(None, None, axis), check_vma=False)
+    else:
+      kernel = jax.shard_map(
+          kernel, mesh=mesh, in_specs=(lane, lane, lane),
+          out_specs=P(None, None, axis), check_vma=False)
 
   def optimize(key, d0, policy: spline_lib.SplinePolicy):
     dtype = policy.values.dtype
