@@ -74,6 +74,9 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   if mesh is not None:
     from jax.sharding import PartitionSpec as P
     axis = mesh.axis_names[0]
+    assert k_total % mesh.shape[axis] == 0, (
+        f"num_trajectory={k_total} must divide the {mesh.shape[axis]}-way "
+        f"'{axis}' mesh axis")
     lane = P(None, axis)
     if spec is not None:
       kernel = jax.shard_map(
