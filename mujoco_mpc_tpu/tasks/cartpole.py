@@ -79,3 +79,16 @@ class Cartpole(base.Task):
         d.qvel[1],                  # Velocity
         d.ctrl[0],                  # Control
     ])
+
+  def residual_from_rollout(self, states: jax.Array, ctrls: jax.Array,
+                            times: jax.Array) -> jax.Array:
+    """Lane-kernel scoring hook (ops/sampling_lane.py): the residual
+    needs only qpos/qvel/ctrl, so it maps directly off the raw
+    (H, nq+nv, K) state block."""
+    goal = self.residual_params[0]
+    return jnp.stack([
+        jnp.cos(states[:, 1]) - 1.0,   # Vertical
+        states[:, 0] - goal,           # Centered
+        states[:, 3],                  # Velocity (qvel of pole)
+        ctrls[:, 0],                   # Control
+    ], axis=1)
