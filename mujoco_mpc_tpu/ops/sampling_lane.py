@@ -87,7 +87,13 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
           kernel, mesh=mesh, in_specs=(lane, lane, lane),
           out_specs=P(None, None, axis), check_vma=False)
 
-  def optimize(key, d0, policy: spline_lib.SplinePolicy):
+  def optimize(key, d0, policy: spline_lib.SplinePolicy,
+               residual_params=None):
+    """residual_params passed at call time so SetTaskParameters-style
+    updates reach the jitted program (traced arg, not a baked closure
+    constant); None falls back to the task's build-time params."""
+    if residual_params is None:
+      residual_params = task.residual_params
     dtype = policy.values.dtype
     horizon_time = (horizon - 1) * m.opt.timestep
     policy = spline_lib.resample(policy, d0.time, horizon_time)
@@ -102,7 +108,7 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
     qvel0 = jnp.tile(d0.qvel[:, None], (1, k_total))
     if spec is not None:
       aux = jnp.tile(
-          spec["make_aux"](d0, task.residual_params)[:, None].astype(dtype),
+          spec["make_aux"](d0, residual_params)[:, None].astype(dtype),
           (1, k_total))
       out = kernel(qpos0, qvel0, values_lane, aux)  # (H, nq+nv+nr, K)
       states = out[:, :nq + nv]
@@ -146,7 +152,8 @@ class LaneSamplingPlanner:
     self.policy = sampling.initial_policy(self.m, self.config, dtype)
 
   def optimize(self, key, d0):
-    self.policy, info = self._optimize(key, d0, self.policy)
+    self.policy, info = self._optimize(key, d0, self.policy,
+                                       self.task.residual_params)
     return info
 
   def action(self, time) -> jax.Array:
