@@ -43,32 +43,39 @@ def make_config(task, dtype=jnp.float32) -> RobustConfig:
 
 def make_optimize_fn(m: Model, residual_fn, cost_fn,
                      s_config: sampling.SamplingConfig,
-                     r_config: RobustConfig, mesh=None):
+                     r_config: RobustConfig, mesh=None,
+                     residual_fn_with_params=None):
   horizon = s_config.horizon
   n_cand = min(r_config.num_candidates, s_config.num_trajectory)
   n_rep = r_config.num_repetitions
   k_noise = s_config.num_trajectory - 1
 
-  def noisy_return(values, t0, dt, d0, key):
+  def noisy_return(rf, values, t0, dt, d0, key):
     def action(state, time):
       pol = spline_lib.SplinePolicy(
           t0=t0, dt=dt, values=values, interp=s_config.interp)
       return spline_lib.sample(pol, time)
     traj = rollout_lib.noisy_rollout(
-        m, residual_fn, cost_fn, action, d0, horizon, key,
+        m, rf, cost_fn, action, d0, horizon, key,
         r_config.xfrc_std, r_config.xfrc_rate)
     return traj.total_return
 
-  def clean_return(values, t0, dt, d0):
+  def clean_return(rf, values, t0, dt, d0):
     def action(state, time):
       pol = spline_lib.SplinePolicy(
           t0=t0, dt=dt, values=values, interp=s_config.interp)
       return spline_lib.sample(pol, time)
     traj = rollout_lib.rollout(
-        m, residual_fn, cost_fn, action, d0, horizon)
+        m, rf, cost_fn, action, d0, horizon)
     return traj.total_return
 
-  def optimize(key, d0, policy: spline_lib.SplinePolicy):
+  def optimize(key, d0, policy: spline_lib.SplinePolicy,
+               residual_params=None):
+    # params threaded as a traced value (see sampling.make_optimize_fn)
+    if residual_params is not None and residual_fn_with_params is not None:
+      rf = lambda mm, dd: residual_fn_with_params(mm, dd, residual_params)
+    else:
+      rf = residual_fn
     k1, k2 = jax.random.split(key)
     horizon_time = (horizon - 1) * m.opt.timestep
     policy = spline_lib.resample(policy, d0.time, horizon_time)
@@ -78,7 +85,7 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
         k1, policy.values, m, s_config.exploration, k_noise)
     candidates = jnp.concatenate([policy.values[None], noisy], axis=0)
     returns = jax.vmap(
-        lambda v: clean_return(v, policy.t0, policy.dt, d0))(candidates)
+        lambda v: clean_return(rf, v, policy.t0, policy.dt, d0))(candidates)
 
     # top-N candidates by clean return
     _, top_idx = jax.lax.top_k(-returns, n_cand)
@@ -89,7 +96,7 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
     flat_vals = jnp.repeat(top, n_rep, axis=0)         # (N*M, P, nu)
     flat_keys = keys.reshape(n_cand * n_rep, 2)
     noisy_rets = jax.vmap(
-        lambda v, kk: noisy_return(v, policy.t0, policy.dt, d0, kk))(
+        lambda v, kk: noisy_return(rf, v, policy.t0, policy.dt, d0, kk))(
             flat_vals, flat_keys)
     avg = jnp.mean(noisy_rets.reshape(n_cand, n_rep), axis=1)
     winner = jnp.argmin(avg)
@@ -118,11 +125,12 @@ class RobustPlanner:
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
     self._optimize = jax.jit(make_optimize_fn(
         self.m, residual_fn, task.cost_spec.cost, self.s_config,
-        self.r_config))
+        self.r_config, residual_fn_with_params=task.residual))
     self.policy = sampling.initial_policy(self.m, self.s_config, dtype)
 
   def optimize(self, key, d0: Data):
-    self.policy, info = self._optimize(key, d0, self.policy)
+    self.policy, info = self._optimize(key, d0, self.policy,
+                                       self.task.residual_params)
     return info
 
   def action(self, time) -> jax.Array:

@@ -83,21 +83,27 @@ def _fitness_weights(num_noisy: int, dtype) -> jax.Array:
 
 
 def make_optimize_fn(m: Model, residual_fn, cost_fn,
-                     config: SampleGradientConfig, mesh=None):
+                     config: SampleGradientConfig, mesh=None,
+                     residual_fn_with_params=None):
   horizon = config.horizon
   n_grad = config.num_gradient
   n_noisy = config.num_trajectory - n_grad
   ctrl_lo = None
 
-  def ret_of(values, t0, dt, d0):
+  def ret_of(rf, values, t0, dt, d0):
     def action(state, time):
       pol = spline_lib.SplinePolicy(
           t0=t0, dt=dt, values=values, interp=config.interp)
       return spline_lib.sample(pol, time)
     return rollout_lib.rollout(
-        m, residual_fn, cost_fn, action, d0, horizon).total_return
+        m, rf, cost_fn, action, d0, horizon).total_return
 
-  def optimize(key, d0, state: SGState):
+  def optimize(key, d0, state: SGState, residual_params=None):
+    # params threaded as a traced value (see sampling.make_optimize_fn)
+    if residual_params is not None and residual_fn_with_params is not None:
+      rf = lambda mm, dd: residual_fn_with_params(mm, dd, residual_params)
+    else:
+      rf = residual_fn
     policy = state.policy
     dtype = policy.values.dtype
     horizon_time = (horizon - 1) * m.opt.timestep
@@ -112,7 +118,7 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
                           m.actuator_ctrlrange[:, 1])
     noisy_all = jnp.concatenate([policy.values[None], noisy_vals], axis=0)
     noisy_rets = jax.vmap(
-        lambda v: ret_of(v, policy.t0, policy.dt, d0))(noisy_all)
+        lambda v: ret_of(rf, v, policy.t0, policy.dt, d0))(noisy_all)
 
     # fitness-shaped gradient over noisy samples (exclude nominal idx 0)
     order = jnp.argsort(noisy_rets[1:])  # best first
@@ -130,7 +136,7 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
     grad_vals = jnp.clip(grad_vals, m.actuator_ctrlrange[:, 0],
                          m.actuator_ctrlrange[:, 1])
     grad_rets = jax.vmap(
-        lambda v: ret_of(v, policy.t0, policy.dt, d0))(grad_vals)
+        lambda v: ret_of(rf, v, policy.t0, policy.dt, d0))(grad_vals)
 
     all_vals = jnp.concatenate([noisy_all, grad_vals], axis=0)
     all_rets = jnp.concatenate([noisy_rets, grad_rets], axis=0)
@@ -157,11 +163,13 @@ class SampleGradientPlanner:
     self.config = config or make_config(task, dtype)
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
     self._optimize = jax.jit(make_optimize_fn(
-        self.m, residual_fn, task.cost_spec.cost, self.config))
+        self.m, residual_fn, task.cost_spec.cost, self.config,
+        residual_fn_with_params=task.residual))
     self.state = initial_state(self.m, self.config, dtype)
 
   def optimize(self, key, d0: Data):
-    self.state, info = self._optimize(key, d0, self.state)
+    self.state, info = self._optimize(key, d0, self.state,
+                                      self.task.residual_params)
     return info
 
   @property

@@ -91,14 +91,19 @@ def add_noise(key: jax.Array, policy_values: jax.Array, m: Model,
 
 
 def make_optimize_fn(m: Model, residual_fn, cost_fn, config: SamplingConfig,
-                     mesh=None):
+                     mesh=None, residual_fn_with_params=None):
   """Build the jittable one-iteration optimizer.
 
-  Returns fn(key, d0, policy) -> (new_policy, info dict). If `mesh` is
-  given, the candidate axis is sharded over its `rollout` axis (GSPMD
-  partitions the independent per-candidate rollouts across chips; the final
-  argmin becomes a cross-chip reduction over ICI).
-  """
+  Returns fn(key, d0, policy[, residual_params]) -> (new_policy, info
+  dict). If `mesh` is given, the candidate axis is sharded over its
+  `rollout` axis (GSPMD partitions the independent per-candidate rollouts
+  across chips; the final argmin becomes a cross-chip reduction over ICI).
+
+  residual_fn_with_params, if given, is `(m, d, params) -> residual` and
+  the optional `residual_params` call argument is threaded to it as a
+  TRACED value — so SetTaskParameters-style updates reach the jitted
+  program (a residual_fn closing over `task.residual_params` bakes the
+  array as a compile-time constant instead)."""
   horizon = config.horizon
   k_noise = config.num_trajectory - 1
 
@@ -107,13 +112,18 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: SamplingConfig,
         t0=t0, dt=dt, values=values, interp=config.interp)
     return spline_lib.sample(pol, time)
 
-  def rollout_one(values, t0, dt, d0):
+  def rollout_one(rf, values, t0, dt, d0):
     return rollout_lib.rollout(
-        m, residual_fn, cost_fn,
+        m, rf, cost_fn,
         lambda state, time: policy_action(values, t0, dt, state, time),
         d0, horizon)
 
-  def optimize(key, d0, policy: spline_lib.SplinePolicy):
+  def optimize(key, d0, policy: spline_lib.SplinePolicy,
+               residual_params=None):
+    if residual_params is not None and residual_fn_with_params is not None:
+      rf = lambda mm, dd: residual_fn_with_params(mm, dd, residual_params)
+    else:
+      rf = residual_fn
     dtype = policy.values.dtype
     horizon_time = (horizon - 1) * m.opt.timestep
     # resample nominal onto the current window (or slide it forward)
@@ -131,7 +141,7 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: SamplingConfig,
           candidates, NamedSharding(mesh, P("rollout")))
 
     trajs = jax.vmap(
-        lambda v: rollout_one(v, policy.t0, policy.dt, d0))(candidates)
+        lambda v: rollout_one(rf, v, policy.t0, policy.dt, d0))(candidates)
     winner = jnp.argmin(trajs.total_return)
     best_values = candidates[winner]
     new_policy = policy.replace(values=best_values)
@@ -158,11 +168,13 @@ class SamplingPlanner:
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
     cost_fn = task.cost_spec.cost
     self._optimize = jax.jit(
-        make_optimize_fn(self.m, residual_fn, cost_fn, self.config))
+        make_optimize_fn(self.m, residual_fn, cost_fn, self.config,
+                         residual_fn_with_params=task.residual))
     self.policy = initial_policy(self.m, self.config, dtype)
 
   def optimize(self, key, d0: Data):
-    self.policy, info = self._optimize(key, d0, self.policy)
+    self.policy, info = self._optimize(key, d0, self.policy,
+                                       self.task.residual_params)
     return info
 
   def action(self, time) -> jax.Array:
