@@ -153,9 +153,14 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
   node_of_step = [min(int(t * num_nodes / max(horizon - 1, 1)),
                       num_nodes - 1) for t in range(horizon)]
 
-  def step_body(qpos, qvel, ctrl, t_step=None, aux=None):
+  def step_body(qpos, qvel, ctrl, t_step=None, aux=None,
+                derived_only=False):
     """One physics step on component lists; returns (qpos', qvel', res)
-    where res is the residual_fn row list (or None)."""
+    where res is the residual_fn row list (or None). With derived_only,
+    only the quantities the residual needs (FK, com, cdof/cvel,
+    actuator forces) are traced and (None, None, res) is returned —
+    used by residual parity tests where the full nv^2 CRB/RNE/Newton
+    trace would dominate."""
     like = qpos[0]
 
     def cv(v):
@@ -248,7 +253,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       hvec = lm.vscale(d, mass)
       return rows, hvec, mass
 
-    cinert = [inertia_of(i) for i in range(nb)]
+    cinert = None if derived_only else [inertia_of(i) for i in range(nb)]
 
     # cdof per dof
     cdof = []
@@ -281,8 +286,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       return (torque, force)
 
     # ---- CRB mass matrix ----
-    crb = [cinert[i] for i in range(nb)]
-    for i in range(nb - 1, 0, -1):
+    crb = [] if derived_only else [cinert[i] for i in range(nb)]
+    for i in ([] if derived_only else range(nb - 1, 0, -1)):
       pid = int(m.body_parentid[i])
       if pid > 0:
         r0, h0, m0 = crb[pid]
@@ -292,7 +297,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
     anc = m.dof_ancestor_mask
     mrows = [[like * 0.0] * nv for _ in range(nv)]
-    for i in range(nv):
+    for i in ([] if derived_only else range(nv)):
       f = imul(crb[int(m.dof_bodyid[i])], cdof[i])
       for j in range(nv):
         if anc[i, j] or anc[j, i]:
@@ -341,7 +346,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     cacc = [(cv([0, 0, 0]),
              cv([-grav[0], -grav[1], -grav[2]]))] * 1 + \
         [None] * (nb - 1)
-    for i in range(1, nb):
+    for i in ([] if derived_only else range(1, nb)):
       pid = int(m.body_parentid[i])
       a = cacc[pid]
       da = int(m.body_dofadr[i])
@@ -352,7 +357,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       cacc[i] = a
 
     cfrc = [None] * nb
-    for i in range(1, nb):
+    for i in ([] if derived_only else range(1, nb)):
       iv = imul(cinert[i], cvel[i])
       ia = imul(cinert[i], cacc[i])
       w, v = cvel[i]
@@ -360,15 +365,16 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       fc = (lm.vadd(lm.vcross(w, iv[0]), lm.vcross(v, iv[1])),
             lm.vcross(w, iv[1]))
       cfrc[i] = (lm.vadd(ia[0], fc[0]), lm.vadd(ia[1], fc[1]))
-    for i in range(nb - 1, 0, -1):
+    for i in ([] if derived_only else range(nb - 1, 0, -1)):
       pid = int(m.body_parentid[i])
       if pid > 0:
         cfrc[pid] = (lm.vadd(cfrc[pid][0], cfrc[i][0]),
                      lm.vadd(cfrc[pid][1], cfrc[i][1]))
 
-    qfrc_bias = [lm.vdot(cdof[i][0], cfrc[int(m.dof_bodyid[i])][0]) +
-                 lm.vdot(cdof[i][1], cfrc[int(m.dof_bodyid[i])][1])
-                 for i in range(nv)]
+    qfrc_bias = [like * 0.0] * nv if derived_only else \
+        [lm.vdot(cdof[i][0], cfrc[int(m.dof_bodyid[i])][0]) +
+         lm.vdot(cdof[i][1], cfrc[int(m.dof_bodyid[i])][1])
+         for i in range(nv)]
 
     # ---- passive + actuation ----
     qfrc = [like * 0.0 for _ in range(nv)]
@@ -420,6 +426,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
           xipos=xipos, subtree_com=subtree_com, ref=ref, cvel=cvel,
           act_force=act_force))
       assert len(res) == residual_dim, (len(res), residual_dim)
+    if derived_only:
+      return None, None, res
 
     # ---- constraint rows: joint limits + ground contacts ----
     # generic one-sided quadratic penalty rows solved with masked Newton
@@ -787,5 +795,20 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     out = (jnp.stack(qpn), jnp.stack(qvn))
     return out + ((jnp.stack(res),) if res is not None else ())
 
+  def residual_array(qpos, qvel, ctrl, t=0, aux=None):
+    """residual_fn rows as plain jnp on (dim, K) arrays, tracing only
+    the derived quantities (FK/com/cvel/actuation) — for parity tests
+    on large-nv models where the full step trace is impractical."""
+    if residual_fn is None:
+      raise ValueError("residual_array requires the kernel to be built "
+                       "with residual_fn (this one was not)")
+    qp = [qpos[i] for i in range(nq)]
+    qv = [qvel[i] for i in range(nv)]
+    ct = [ctrl[i] for i in range(nu)]
+    ax = None if aux is None else [aux[i] for i in range(aux.shape[0])]
+    _, _, res = step_body(qp, qv, ct, t, ax, derived_only=True)
+    return jnp.stack(res)
+
   rollout.step_array = step_array
+  rollout.residual_array = residual_array
   return rollout

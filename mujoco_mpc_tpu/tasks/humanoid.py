@@ -165,6 +165,8 @@ class HumanoidStand(base.Task):
   """Stand upright at target head height (reference "Humanoid Stand")."""
 
   name = "Humanoid Stand"
+  # Stand's residual uses raw comvel (no speed tracking); Walk flips this
+  _lane_tracks_speed = False
 
   def __init__(self, **kw):
     super().__init__(**kw)
@@ -200,11 +202,75 @@ class HumanoidStand(base.Task):
         d.ctrl,
     ])
 
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py (component form).
+
+    Shared by Stand and Walk: aux = [height_goal, speed_goal] and the
+    comvel rows become [comvel_x - speed_goal, comvel_y] (Stand passes
+    speed_goal = 0, reproducing its raw comvel terms). See
+    tasks/quadruped.py lane_residual_spec for the pattern."""
+    import numpy as np
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    body_mass = np.asarray(g(m.body_mass))
+    parent = np.asarray(m.body_parentid)
+    torso = self._torso
+    feet = [(int(site_bodyid[s]), [float(v) for v in site_pos[s]])
+            for s in self._feet_sites]
+    head_b = int(site_bodyid[self._head])
+    head_p = [float(v) for v in site_pos[self._head]]
+    ids = []
+    for b in range(m.nbody):
+      a = b
+      while a not in (0, torso):
+        a = int(parent[a])
+      if a == torso:
+        ids.append(b)
+    total_mass = max(sum(float(body_mass[b]) for b in ids), 1e-12)
+    nv, nu = m.nv, m.nu
+
+    def fn(ctx):
+      lm, cv = ctx["lm"], ctx["cv"]
+      xpos, xquat, xipos = ctx["xpos"], ctx["xquat"], ctx["xipos"]
+      scom, ref, cvel = ctx["subtree_com"], ctx["ref"], ctx["cvel"]
+      aux, qvel, ctrl = ctx["aux"], ctx["qvel"], ctx["ctrl"]
+      fps = [lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p))) for b, p in feet]
+      favg = tuple(sum(p[k] for p in fps) / len(fps) for k in range(3))
+      head = lm.vadd(xpos[head_b], lm.qrot(xquat[head_b], cv(head_p)))
+      rows = [head[2] - favg[2] - aux[0]]
+      comvel = [0.0, 0.0, 0.0]
+      for b in ids:
+        ang_b, lin_b = cvel[b]
+        linv = lm.vadd(lin_b, lm.vcross(ang_b, lm.vsub(xipos[b], ref[b])))
+        for k in range(3):
+          comvel[k] = comvel[k] + float(body_mass[b]) * linv[k]
+      comvel = [v / total_mass for v in comvel]
+      dx = scom[torso][0] + 0.2 * comvel[0] - favg[0] + 1e-8
+      dy = scom[torso][1] + 0.2 * comvel[1] - favg[1] + 1e-8
+      rows.append(jnp.sqrt(dx * dx + dy * dy))
+      rows.append(comvel[0] - aux[1])
+      rows.append(comvel[1])
+      rows += [qvel[i] for i in range(6, nv)]
+      rows += list(ctrl)
+      return rows
+
+    track_speed = self._lane_tracks_speed
+
+    def make_aux(d0, params):
+      speed = (params[1] if track_speed and params.shape[0] > 1
+               else jnp.zeros_like(params[0]))
+      return jnp.stack([params[0], speed])
+
+    return dict(dim=4 + (nv - 6) + nu, naux=2, fn=fn, make_aux=make_aux)
+
 
 class HumanoidWalk(HumanoidStand):
   """Walk forward at target speed (reference "Humanoid Walk")."""
 
   name = "Humanoid Walk"
+  _lane_tracks_speed = True
 
   def residual(self, m: Model, d: Data, params: jax.Array) -> jax.Array:
     height_goal, speed_goal = params[0], params[1]

@@ -209,3 +209,47 @@ def test_lane_kernel_quadruped_residual_matches_pipeline():
                                  np.asarray(ref), atol=5e-4,
                                  err_msg=f"t={t} k={k}")
     qp, qv = qp2, qv2
+
+def test_lane_kernel_humanoid_residual_matches_pipeline():
+  """Humanoid lane_residual_spec rows must match the pipeline residual
+  at identical states (step_array path; see the quadruped test above)."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.physics import collision as coll
+  from mujoco_mpc_tpu.tasks import registry
+
+  # Walk exercises the shared Stand spec plus the speed-tracking term.
+  # residual_array traces only the derived quantities the residual
+  # needs (the full nv=27 step trace is impractical on CPU; the
+  # constrained dynamics are covered by the other lane tests).
+  for task_name in ("Humanoid Walk",):
+    task = registry.get_task(task_name)
+    m = getattr(task, "plan_model", task.model)
+    spec = task.lane_residual_spec()
+    k_c = 4
+    kernel = step_lane.build_rollout_kernel(
+        m, 2, 2, interpret=True, contact_types=(),
+        residual_fn=spec["fn"], residual_dim=spec["dim"],
+        naux=spec["naux"])
+    res_fn = jax.jit(kernel.residual_array)
+    rng = np.random.default_rng(5)
+    d0 = task.make_data()
+    qpos0 = np.tile(np.asarray(jax.device_get(d0.qpos))[:, None], (1, k_c))
+    qpos0[7:] += 0.05 * rng.standard_normal((m.nq - 7, k_c))
+    qvel0 = 0.2 * rng.standard_normal((m.nv, k_c))
+    ctrl = jnp.asarray(rng.uniform(-0.5, 0.5, (m.nu, k_c)), jnp.float32)
+    aux = jnp.asarray(np.tile(np.asarray(jax.device_get(
+        spec["make_aux"](d0, task.residual_params)))[:, None], (1, k_c)),
+        jnp.float32)
+    res = res_fn(jnp.asarray(qpos0, jnp.float32),
+                 jnp.asarray(qvel0, jnp.float32), ctrl,
+                 jnp.asarray(0, jnp.int32), aux)
+    assert res.shape == (spec["dim"], k_c)
+    fwd = jax.jit(lambda d: F.forward(m, d))
+    for k in range(k_c):
+      d = d0.replace(qpos=jnp.asarray(qpos0[:, k], jnp.float32),
+                     qvel=jnp.asarray(qvel0[:, k], jnp.float32),
+                     ctrl=ctrl[:, k])
+      ref = task.residual(m, fwd(d), task.residual_params)
+      np.testing.assert_allclose(np.asarray(res[:, k]), np.asarray(ref),
+                                 atol=5e-4, err_msg=f"{task_name} k={k}")
