@@ -79,3 +79,30 @@ class Acrobot(base.Task):
         d.qvel[1],
         d.ctrl[0],
     ])
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: goal/tip site FK plus
+    joint velocities and control (pattern: tasks/quadruped.py)."""
+    import numpy as np
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    gb = int(site_bodyid[self._goal])
+    tb = int(site_bodyid[self._tip])
+    gp = [float(v) for v in site_pos[self._goal]]
+    tp = [float(v) for v in site_pos[self._tip]]
+
+    def fn(ctx):
+      lm, cv = ctx["lm"], ctx["cv"]
+      xpos, xquat = ctx["xpos"], ctx["xquat"]
+      qvel, ctrl = ctx["qvel"], ctx["ctrl"]
+      goal = lm.vadd(xpos[gb], lm.qrot(xquat[gb], cv(gp)))
+      tip = lm.vadd(xpos[tb], lm.qrot(xquat[tb], cv(tp)))
+      return [goal[2] - tip[2], goal[0] - tip[0], qvel[0], qvel[1],
+              ctrl[0]]
+
+    def make_aux(d0, params):
+      return jnp.zeros((1,), jnp.float32)
+
+    return dict(dim=5, naux=1, fn=fn, make_aux=make_aux)

@@ -84,6 +84,23 @@ class Swimmer(base.Task):
     target = d.mocap_pos[0, :2]
     return jnp.concatenate([d.ctrl, nose - target])
 
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: ctrl + nose-to-target
+    error; the target rides aux (frozen per plan like the pipeline's
+    d0.mocap_pos). Pattern: tasks/quadruped.py."""
+    m = getattr(self, "plan_model", self.model)
+    nu = m.nu
+
+    def fn(ctx):
+      xpos, aux = ctx["xpos"], ctx["aux"]
+      return list(ctx["ctrl"]) + [xpos[1][0] - aux[0],
+                                  xpos[1][1] - aux[1]]
+
+    def make_aux(d0, params):
+      return d0.mocap_pos[0, :2]
+
+    return dict(dim=nu + 2, naux=2, fn=fn, make_aux=make_aux)
+
   def transition(self, d: Data) -> Data:
     """Teleport target when the nose reaches it (host-side, stateful RNG)."""
     nose = np.asarray(d.xpos[1, :2]) if d.xpos is not None else np.zeros(2)

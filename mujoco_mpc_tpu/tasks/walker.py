@@ -124,3 +124,36 @@ class Walker(base.Task):
             comvel[0] - speed_goal,
         ]),
     ])
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: ctrl, height, uprightness
+    (torso z-axis z), and com forward speed — all from FK/cvel already in
+    VMEM (pattern: tasks/quadruped.py). aux = [height_goal, speed_goal]."""
+    import numpy as np
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    body_mass = np.asarray(g(m.body_mass))
+    ids = list(range(1, m.nbody))
+    total_mass = max(sum(float(body_mass[b]) for b in ids), 1e-12)
+    nu = m.nu
+
+    def fn(ctx):
+      lm, cv = ctx["lm"], ctx["cv"]
+      xpos, xquat, xipos = ctx["xpos"], ctx["xquat"], ctx["xipos"]
+      ref, cvel, aux = ctx["ref"], ctx["cvel"], ctx["aux"]
+      rows = list(ctx["ctrl"])
+      rows.append(xpos[1][2] - aux[0])
+      up = lm.qrot(xquat[1], cv([0.0, 0.0, 1.0]))
+      rows.append(up[2] - 1.0)
+      comvel_x = 0.0
+      for b in ids:
+        ang_b, lin_b = cvel[b]
+        linv = lm.vadd(lin_b, lm.vcross(ang_b, lm.vsub(xipos[b], ref[b])))
+        comvel_x = comvel_x + float(body_mass[b]) * linv[0]
+      rows.append(comvel_x / total_mass - aux[1])
+      return rows
+
+    def make_aux(d0, params):
+      return jnp.stack([params[0], params[1]])
+
+    return dict(dim=nu + 3, naux=2, fn=fn, make_aux=make_aux)

@@ -253,3 +253,42 @@ def test_lane_kernel_humanoid_residual_matches_pipeline():
       ref = task.residual(m, fwd(d), task.residual_params)
       np.testing.assert_allclose(np.asarray(res[:, k]), np.asarray(ref),
                                  atol=5e-4, err_msg=f"{task_name} k={k}")
+
+def test_lane_kernel_small_task_residuals_match_pipeline():
+  """Walker/Acrobot/Swimmer lane_residual_spec rows match the pipeline
+  residual at identical states (derived-only path; fast)."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import registry
+
+  for task_name in ("Walker", "Acrobot", "Swimmer"):
+    task = registry.get_task(task_name)
+    m = getattr(task, "plan_model", task.model)
+    spec = task.lane_residual_spec()
+    k_c = 4
+    kernel = step_lane.build_rollout_kernel(
+        m, 2, 2, interpret=True, contact_types=(),
+        residual_fn=spec["fn"], residual_dim=spec["dim"],
+        naux=spec["naux"])
+    res_fn = jax.jit(kernel.residual_array)
+    rng = np.random.default_rng(7)
+    d0 = task.make_data()
+    qpos0 = np.tile(np.asarray(jax.device_get(d0.qpos))[:, None], (1, k_c))
+    qpos0 += 0.1 * rng.standard_normal(qpos0.shape)
+    qvel0 = 0.3 * rng.standard_normal((m.nv, k_c))
+    ctrl = jnp.asarray(rng.uniform(-0.5, 0.5, (m.nu, k_c)), jnp.float32)
+    aux_1 = np.asarray(jax.device_get(
+        spec["make_aux"](d0, task.residual_params)))
+    aux = jnp.asarray(np.tile(aux_1[:, None], (1, k_c)), jnp.float32)
+    res = res_fn(jnp.asarray(qpos0, jnp.float32),
+                 jnp.asarray(qvel0, jnp.float32), ctrl,
+                 jnp.asarray(0, jnp.int32), aux)
+    assert res.shape == (spec["dim"], k_c), task_name
+    fwd = jax.jit(lambda d: F.forward(m, d))
+    for k in range(k_c):
+      d = d0.replace(qpos=jnp.asarray(qpos0[:, k], jnp.float32),
+                     qvel=jnp.asarray(qvel0[:, k], jnp.float32),
+                     ctrl=ctrl[:, k])
+      ref = task.residual(m, fwd(d), task.residual_params)
+      np.testing.assert_allclose(np.asarray(res[:, k]), np.asarray(ref),
+                                 atol=5e-4, err_msg=f"{task_name} k={k}")
