@@ -11,6 +11,7 @@ an async variant overlaps device planning with env stepping.
 from __future__ import annotations
 
 import concurrent.futures
+import os
 import time as time_lib
 from typing import Optional
 
@@ -47,7 +48,25 @@ class Agent:
     self._pending_plan = None
 
   def _make_planner(self, name: str):
+    if name in ("Sampling Lane", "Predictive Sampling Lane"):
+      # explicit opt-in to the Pallas lane-kernel fast path
+      from mujoco_mpc_tpu.ops import sampling_lane
+      return sampling_lane.LaneSamplingPlanner(self.task)
     if name in ("Sampling", "Predictive Sampling"):
+      # transparently use the lane-kernel fast path on TPU when the
+      # task/model qualify (in-kernel residual scoring; 20-80x the
+      # vmapped pipeline on the quadruped benchmark, ops/README.md)
+      if (jax.devices()[0].platform == "tpu"
+          and os.environ.get("MJPC_TPU_LANE", "1") != "0"):
+        try:
+          from mujoco_mpc_tpu.ops import sampling_lane, step_lane
+          m = getattr(self.task, "plan_model", self.task.model)
+          if (step_lane.supports(m, ground_only=True)
+              and (hasattr(self.task, "lane_residual_spec")
+                   or hasattr(self.task, "residual_from_rollout"))):
+            return sampling_lane.LaneSamplingPlanner(self.task)
+        except Exception:
+          pass  # fall back to the pipeline planner
       return sampling.SamplingPlanner(self.task)
     if name == "Cross Entropy":
       return cross_entropy.CrossEntropyPlanner(self.task)
