@@ -147,9 +147,17 @@ def rk4(m: Model, d: Data) -> Data:
   return d0.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + dt)
 
 
-def step(m: Model, d: Data) -> Data:
-  """mj_step: forward dynamics + integration."""
-  d = forward(m, d)
+def integrate(m: Model, d: Data) -> Data:
+  """Integration stage of mj_step, assuming forward() already ran on d.
+
+  Split out so rollouts can read time-consistent derived quantities
+  (sensors/residuals on the pre-integration state, like mj_step's sensor
+  evaluation) before advancing the state."""
   if m.opt.integrator == RK4:
     return rk4(m, d)
   return euler(m, d)
+
+
+def step(m: Model, d: Data) -> Data:
+  """mj_step: forward dynamics + integration."""
+  return integrate(m, forward(m, d))

@@ -7,7 +7,11 @@ function over the horizon and vmap over thousands of candidates.
 
 Semantics matched from Trajectory::Rollout:
   * action sampled from the policy at the pre-step time, held for the step;
-  * residual recorded AFTER each step (post-step state, current ctrl);
+  * residual evaluated on the time-consistent PRE-integration state of
+    each step (mj_step computes sensors before integrating, so the
+    reference's recorded sensordata is at the pre-step state; we run
+    forward, record the residual, then integrate) — residuals[t] aligns
+    with states[t];
   * a final forward pass produces the last residual;
   * divergence (non-finite state) poisons the rollout: total_return = 1e6
     (kMaxReturnValue, trajectory.cc:29);
@@ -94,10 +98,12 @@ def rollout(
     u = policy_fn(state, d.time)
     u = jnp.clip(u, ctrlrange[:, 0], ctrlrange[:, 1])
     d = d.replace(ctrl=u)
-    d = F.step(m, d)
-    r = residual_fn(m, d)
+    d = F.forward(m, d)
+    r = residual_fn(m, d)  # pre-integration: residuals[t] ~ states[t]
+    t = d.time
+    d = F.integrate(m, d)
     fail = _diverged(d)
-    return slim_carry(d), (state, u, d.time, r, fail)
+    return slim_carry(d), (state, u, t, r, fail)
 
   carry_final, (states, actions, times, residuals, fails) = jax.lax.scan(
       body, slim_carry(d0), None, length=horizon - 1)
@@ -154,10 +160,12 @@ def noisy_rollout(
                               d.xfrc_applied.dtype)
     xfrc = rate * d.xfrc_applied + scale * noise
     d = d.replace(ctrl=u, xfrc_applied=xfrc)
-    d = F.step(m, d)
-    r = residual_fn(m, d)
+    d = F.forward(m, d)
+    r = residual_fn(m, d)  # pre-integration: residuals[t] ~ states[t]
+    t = d.time
+    d = F.integrate(m, d)
     fail = _diverged(d)
-    return slim_carry(d), (state, u, d.time, r, fail)
+    return slim_carry(d), (state, u, t, r, fail)
 
   keys = jax.random.split(key, horizon - 1)
   carry_final, (states, actions, times, residuals, fails) = jax.lax.scan(
