@@ -74,6 +74,45 @@ def const_vec3(v, like) -> Vec3:
   return (ones * float(v[0]), ones * float(v[1]), ones * float(v[2]))
 
 
+def chol_solve_packed(a, b, eps=1e-10):
+  """Solve A x = b for symmetric PD A in PACKED lane layout.
+
+  a: (n, n, K) — per-lane matrices with n on the sublane axes;
+  b: (n, K). Returns x: (n, K).
+
+  Column-at-a-time Cholesky on packed columns: O(n^2) traced ops total
+  (each op engages n sublanes), vs O(n^3/6) scalar-component ops for
+  `chol_solve_sym` — this is the round-2 "packed-row" rewrite that makes
+  large-nv step kernels traceable and faster (ops/README.md roadmap #1).
+
+  Internal detail: stored column j entries above the diagonal are
+  garbage (never zeroed); all reads index at-or-below the diagonal.
+  """
+  n = b.shape[0]
+  cols = []   # cols[j]: (n, K); cols[j][i] = L[i, j] for i >= j
+  diag = []   # diag[j]: (K,) = L[j, j]
+  for j in range(n):
+    s = a[:, j]                       # (n, K)
+    for k in range(j):
+      s = s - cols[k] * cols[k][j][None, :]
+    d = jnp.sqrt(jnp.maximum(s[j], eps))
+    cols.append(s / d[None, :])
+    diag.append(d)
+  y = [None] * n
+  for i in range(n):
+    s = b[i]
+    for k in range(i):
+      s = s - cols[k][i] * y[k]
+    y[i] = s / diag[i]
+  x = [None] * n
+  for i in range(n - 1, -1, -1):
+    s = y[i]
+    for k in range(i + 1, n):
+      s = s - cols[i][k] * x[k]
+    x[i] = s / diag[i]
+  return jnp.stack(x)
+
+
 def chol_solve_sym(a_rows, b):
   """Solve A x = b for symmetric PD A given as list-of-lists of (1, K)
   entries; b is a list of (1, K). Unrolled Cholesky, one candidate per

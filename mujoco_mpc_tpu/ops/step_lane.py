@@ -601,73 +601,65 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                       lm.const_vec3(n_pl, like), 0.5 * dist))
                   add_contact(bid, pt, dist, n_pl, ci)
 
-    qfrc_constraint = [like * 0.0 for _ in range(nv)]
+    # ---- packed-row Newton constraint solve ----
+    # Rows pack to J (nrow, nv, K), aref/dcoef to (nrow, K), the mass
+    # matrix to M (nv, nv, K): the grad / Hessian / line-search
+    # accumulations become O(nv) traced array ops on lane blocks instead
+    # of O(nrow * support^2) python-unrolled scalar ops. This cuts trace
+    # time ~10-30x (ops/README.md roadmap #1; humanoid full-step traces
+    # became practical) and engages all nv sublanes of the VPU per op
+    # instead of 1.
+    M = jnp.stack([jnp.stack(r) for r in mrows])      # (nv, nv, K)
+    rhs_p = jnp.stack(rhs)                            # (nv, K)
     if rows:
+      zero = like * 0.0
+      J = jnp.stack([jnp.stack([jr if jr is not None else zero
+                                for jr in jrow]) for jrow, _, _ in rows])
+      aref_p = jnp.stack([aref + zero for _, aref, _ in rows])
+      dcoef_p = jnp.stack([dcoef + zero for _, _, dcoef in rows])
       # masked Newton on qacc with exact 1-D line search
       # (physics/constraint.solve schedule: opt.iterations Newton x
       # opt.ls_iterations line-search iters; overridable per-kernel)
-      a0 = lm.chol_solve_sym(mrows, rhs)  # qacc_smooth
-      a = list(a0)
+      a0 = lm.chol_solve_packed(M, rhs_p)             # qacc_smooth
+      a = a0
       for _ in range(n_newton):
-        # M (a - a0)
-        ma = [sum(mrows[i][j] * (a[j] - a0[j]) for j in range(nv))
-              for i in range(nv)]
-        grad = [like * 0.0 for _ in range(nv)]
-        hadd = [[like * 0.0 for _ in range(nv)] for _ in range(nv)]
-        jars = []
-        for jrow, aref, dcoef in rows:
-          jar = sum(jrow[i] * a[i] for i in range(nv)
-                    if jrow[i] is not None) - aref
-          jars.append(jar)
-          act = dcoef * (jar < 0)
-          for i in range(nv):
-            if jrow[i] is None:
-              continue
-            grad[i] = grad[i] + jrow[i] * act * jar
-            for jj in range(i, nv):
-              if jrow[jj] is None:
-                continue
-              hadd[i][jj] = hadd[i][jj] + act * jrow[i] * jrow[jj]
-        hrows = [[mrows[i][jj] + (hadd[i][jj] if jj >= i else hadd[jj][i])
-                  for jj in range(nv)] for i in range(nv)]
-        gtot = [ma[i] + grad[i] for i in range(nv)]
-        pstep = [-v for v in lm.chol_solve_sym(hrows, gtot)]
-
+        ma = jnp.sum(M * (a - a0)[None, :, :], axis=1)       # (nv, K)
+        jar = jnp.sum(J * a[None, :, :], axis=1) - aref_p    # (nrow, K)
+        act = dcoef_p * (jar < 0)
+        grad = jnp.sum(J * (act * jar)[:, None, :], axis=0)  # (nv, K)
+        # H = M + J^T diag(act) J, assembled row-block at a time
+        hjj = jnp.stack(
+            [jnp.sum((act * J[:, i, :])[:, None, :] * J, axis=0)
+             for i in range(nv)])                            # (nv, nv, K)
+        pstep = -lm.chol_solve_packed(M + hjj, ma + grad)
         if n_ls > 0:
           # exact-ish line search along pstep (piecewise-quadratic phi)
-          jps = [sum(jrow[i] * pstep[i] for i in range(nv)
-                     if jrow[i] is not None) for jrow, _, _ in rows]
-          mp = [sum(mrows[i][j] * pstep[j] for j in range(nv))
-                for i in range(nv)]
-          pmp = sum(pstep[i] * mp[i] for i in range(nv))
-          pma = sum(pstep[i] * ma[i] for i in range(nv))
+          jps = jnp.sum(J * pstep[None, :, :], axis=1)       # (nrow, K)
+          mp = jnp.sum(M * pstep[None, :, :], axis=1)
+          pmp = jnp.sum(pstep * mp, axis=0)                  # (K,)
+          pma = jnp.sum(pstep * ma, axis=0)
           tls = jnp.ones_like(like)
           for _ in range(n_ls):
-            dphi = pma + tls * pmp
-            ddphi = pmp
-            for r, (jrow, aref, dcoef) in enumerate(rows):
-              jart = jars[r] + tls * jps[r]
-              act = dcoef * (jart < 0)
-              dphi = dphi + act * jart * jps[r]
-              ddphi = ddphi + act * jps[r] * jps[r]
+            jart = jar + tls[None, :] * jps
+            act2 = dcoef_p * (jart < 0)
+            dphi = pma + tls * pmp + jnp.sum(act2 * jart * jps, axis=0)
+            ddphi = pmp + jnp.sum(act2 * jps * jps, axis=0)
             tls = tls - dphi / jnp.maximum(ddphi, 1e-12)
-          a = [a[i] + tls * pstep[i] for i in range(nv)]
+          a = a + tls[None, :] * pstep
         else:
-          a = [a[i] + pstep[i] for i in range(nv)]
-      for jrow, aref, dcoef in rows:
-        jar = sum(jrow[i] * a[i] for i in range(nv)
-                  if jrow[i] is not None) - aref
-        act = dcoef * (jar < 0)
-        for i in range(nv):
-          if jrow[i] is not None:
-            qfrc_constraint[i] = qfrc_constraint[i] - jrow[i] * act * jar
-      rhs = [rhs[i] + qfrc_constraint[i] for i in range(nv)]
+          a = a + pstep
+      jar = jnp.sum(J * a[None, :, :], axis=1) - aref_p
+      act = dcoef_p * (jar < 0)
+      rhs_p = rhs_p - jnp.sum(J * (act * jar)[:, None, :], axis=0)
 
-    # ---- implicit-damping Euler ----
+    # ---- implicit-damping Euler (packed solve) ----
+    # diagonal damping added in component form (pallas kernels cannot
+    # capture non-scalar constants)
     for i in range(nv):
       mrows[i][i] = mrows[i][i] + h * float(c["dof_damping"][i])
-    qacc = lm.chol_solve_sym(mrows, rhs)
-    qvel_new = [qvel[i] + h * qacc[i] for i in range(nv)]
+    m_e = jnp.stack([jnp.stack(r) for r in mrows])
+    qacc_p = lm.chol_solve_packed(m_e, rhs_p)
+    qvel_new = [qvel[i] + h * qacc_p[i] for i in range(nv)]
     qpos_new = list(qpos)
     for j in range(m.njnt):
       qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
