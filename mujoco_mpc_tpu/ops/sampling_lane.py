@@ -6,8 +6,9 @@ generation + ONE Pallas kernel call rolling out all candidates + fused
 scoring — measured ~200x faster than the vmapped XLA pipeline for the
 same workload (docs/DESIGN.md).
 
-Tasks opt in by implementing `residual_from_rollout(states, ctrls, times)`
-mapping the kernel's raw (H, nq+nv, K) output to (H, nr, K) residuals.
+Tasks opt in by implementing
+`residual_from_rollout(states, ctrls, times, params)` mapping the
+kernel's raw (H, nq+nv, K) output to (H, nr, K) residuals.
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   1. `lane_residual_spec()` — the residual is evaluated IN-KERNEL per
      step (full derived quantities: FK, com, body velocities,
      actuator forces) and rides the rollout's VMEM residency; or
-  2. `residual_from_rollout(states, ctrls, times)` — the residual is
+  2. `residual_from_rollout(states, ctrls, times, params)` — the residual is
      reconstructed on the XLA side from the raw (H, nq+nv, K) states
      (only viable for tasks whose cost needs no FK).
 
@@ -88,12 +89,15 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
           out_specs=P(None, None, axis), check_vma=False)
 
   def optimize(key, d0, policy: spline_lib.SplinePolicy,
-               residual_params=None):
-    """residual_params passed at call time so SetTaskParameters-style
-    updates reach the jitted program (traced arg, not a baked closure
-    constant); None falls back to the task's build-time params."""
+               residual_params=None, cost_spec=None):
+    """residual_params / cost_spec passed at call time so
+    SetTaskParameters / SetCostWeights-style updates reach the jitted
+    program (traced args, not baked closure constants); None falls back
+    to the task's build-time values."""
     if residual_params is None:
       residual_params = task.residual_params
+    if cost_spec is None:
+      cost_spec = task.cost_spec
     dtype = policy.values.dtype
     horizon_time = (horizon - 1) * m.opt.timestep
     policy = spline_lib.resample(policy, d0.time, horizon_time)
@@ -118,9 +122,10 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
       times = d0.time + h * jnp.arange(horizon, dtype=dtype)
       ctrls = candidates[:, node_of, :]             # (K, H, nu)
       ctrls = jnp.moveaxis(ctrls, 0, -1)            # (H, nu, K)
-      residuals = task.residual_from_rollout(states, ctrls, times)
+      residuals = task.residual_from_rollout(states, ctrls, times,
+                                             residual_params)
     # (H, nr, K) -> costs (K,)
-    costs = task.cost_spec.cost(jnp.moveaxis(residuals, 1, -1))  # (H, K)
+    costs = cost_spec.cost(jnp.moveaxis(residuals, 1, -1))  # (H, K)
     returns = jnp.mean(costs, axis=0)
     returns = jnp.where(
         jnp.all(jnp.isfinite(states[-1]), axis=0), returns, 1e6)
@@ -153,7 +158,8 @@ class LaneSamplingPlanner:
 
   def optimize(self, key, d0):
     self.policy, info = self._optimize(key, d0, self.policy,
-                                       self.task.residual_params)
+                                       self.task.residual_params,
+                                       self.task.cost_spec)
     return info
 
   def action(self, time) -> jax.Array:

@@ -77,19 +77,22 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: CEMConfig,
   k = config.num_trajectory
   n_elite = min(config.n_elite, k)
 
-  def rollout_one(rf, values, t0, dt, d0):
+  def rollout_one(rf, cf, values, t0, dt, d0):
     def action(state, time):
       pol = spline_lib.SplinePolicy(
           t0=t0, dt=dt, values=values, interp=config.interp)
       return spline_lib.sample(pol, time)
-    return rollout_lib.rollout(m, rf, cost_fn, action, d0, horizon)
+    return rollout_lib.rollout(m, rf, cf, action, d0, horizon)
 
-  def optimize(key, d0, state: CEMState, residual_params=None):
-    # params threaded as a traced value (see sampling.make_optimize_fn)
+  def optimize(key, d0, state: CEMState, residual_params=None,
+               cost_spec=None):
+    # params + cost spec threaded as traced values
+    # (see sampling.make_optimize_fn)
     if residual_params is not None and residual_fn_with_params is not None:
       rf = lambda mm, dd: residual_fn_with_params(mm, dd, residual_params)
     else:
       rf = residual_fn
+    cf = cost_spec.cost if cost_spec is not None else cost_fn
     policy = state.policy
     horizon_time = (horizon - 1) * m.opt.timestep
     policy = spline_lib.resample(policy, d0.time, horizon_time)
@@ -107,7 +110,8 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: CEMConfig,
           candidates, NamedSharding(mesh, P("rollout")))
 
     trajs = jax.vmap(
-        lambda v: rollout_one(rf, v, policy.t0, policy.dt, d0))(candidates)
+        lambda v: rollout_one(rf, cf, v, policy.t0, policy.dt, d0))(
+            candidates)
 
     # elites: n_elite best returns
     neg_ret, elite_idx = jax.lax.top_k(-trajs.total_return, n_elite)
@@ -144,7 +148,8 @@ class CrossEntropyPlanner:
 
   def optimize(self, key, d0: Data):
     self.state, info = self._optimize(key, d0, self.state,
-                                      self.task.residual_params)
+                                      self.task.residual_params,
+                                      self.task.cost_spec)
     return info
 
   @property

@@ -48,25 +48,35 @@ def make_config(task) -> GradientConfig:
 
 
 def make_optimize_fn(m: Model, residual_fn, cost_fn,
-                     config: GradientConfig, mesh=None):
+                     config: GradientConfig, mesh=None,
+                     residual_fn_with_params=None):
   horizon = config.horizon
 
-  def total_return(values, t0, dt, d0):
+  def total_return(rf, cf, values, t0, dt, d0):
     def action(state, time):
       pol = spline_lib.SplinePolicy(
           t0=t0, dt=dt, values=values, interp=config.interp)
       return spline_lib.sample(pol, time)
-    traj = rollout_lib.rollout(m, residual_fn, cost_fn, action, d0, horizon)
+    traj = rollout_lib.rollout(m, rf, cf, action, d0, horizon)
     return traj.total_return
 
-  def optimize(key, d0, policy: spline_lib.SplinePolicy):
+  def optimize(key, d0, policy: spline_lib.SplinePolicy,
+               residual_params=None, cost_spec=None):
+    # params + cost spec threaded as traced values
+    # (see sampling.make_optimize_fn)
     del key
+    if residual_params is not None and residual_fn_with_params is not None:
+      rf = lambda mm, dd: residual_fn_with_params(mm, dd, residual_params)
+    else:
+      rf = residual_fn
+    cf = cost_spec.cost if cost_spec is not None else cost_fn
     dtype = policy.values.dtype
     horizon_time = (horizon - 1) * m.opt.timestep
     policy = spline_lib.resample(policy, d0.time, horizon_time)
 
-    ret0, grad = jax.value_and_grad(total_return)(
-        policy.values, policy.t0, policy.dt, d0)
+    ret0, grad = jax.value_and_grad(
+        lambda v: total_return(rf, cf, v, policy.t0, policy.dt, d0))(
+            policy.values)
     # guard NaN gradients from diverged rollouts
     grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
     gnorm = jnp.maximum(jnp.linalg.norm(grad), 1e-10)
@@ -83,7 +93,8 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
     candidates = jnp.clip(candidates, m.actuator_ctrlrange[:, 0],
                           m.actuator_ctrlrange[:, 1])
     returns = jax.vmap(
-        lambda v: total_return(v, policy.t0, policy.dt, d0))(candidates)
+        lambda v: total_return(rf, cf, v, policy.t0, policy.dt, d0))(
+            candidates)
     best = jnp.argmin(returns)
     improved = returns[best] < ret0
     new_values = jnp.where(improved, candidates[best], policy.values)
@@ -109,7 +120,8 @@ class GradientPlanner:
     self.config = config or make_config(task)
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
     self._optimize = jax.jit(make_optimize_fn(
-        self.m, residual_fn, task.cost_spec.cost, self.config))
+        self.m, residual_fn, task.cost_spec.cost, self.config,
+        residual_fn_with_params=task.residual))
     from mujoco_mpc_tpu.planners import sampling as sampling_lib
     self.policy = sampling_lib.initial_policy(
         self.m,
@@ -120,7 +132,9 @@ class GradientPlanner:
         dtype)
 
   def optimize(self, key, d0: Data):
-    self.policy, info = self._optimize(key, d0, self.policy)
+    self.policy, info = self._optimize(key, d0, self.policy,
+                                       self.task.residual_params,
+                                       self.task.cost_spec)
     return info
 
   def action(self, time) -> jax.Array:

@@ -50,32 +50,34 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
   n_rep = r_config.num_repetitions
   k_noise = s_config.num_trajectory - 1
 
-  def noisy_return(rf, values, t0, dt, d0, key):
+  def noisy_return(rf, cf, values, t0, dt, d0, key):
     def action(state, time):
       pol = spline_lib.SplinePolicy(
           t0=t0, dt=dt, values=values, interp=s_config.interp)
       return spline_lib.sample(pol, time)
     traj = rollout_lib.noisy_rollout(
-        m, rf, cost_fn, action, d0, horizon, key,
+        m, rf, cf, action, d0, horizon, key,
         r_config.xfrc_std, r_config.xfrc_rate)
     return traj.total_return
 
-  def clean_return(rf, values, t0, dt, d0):
+  def clean_return(rf, cf, values, t0, dt, d0):
     def action(state, time):
       pol = spline_lib.SplinePolicy(
           t0=t0, dt=dt, values=values, interp=s_config.interp)
       return spline_lib.sample(pol, time)
     traj = rollout_lib.rollout(
-        m, rf, cost_fn, action, d0, horizon)
+        m, rf, cf, action, d0, horizon)
     return traj.total_return
 
   def optimize(key, d0, policy: spline_lib.SplinePolicy,
-               residual_params=None):
-    # params threaded as a traced value (see sampling.make_optimize_fn)
+               residual_params=None, cost_spec=None):
+    # params + cost spec threaded as traced values
+    # (see sampling.make_optimize_fn)
     if residual_params is not None and residual_fn_with_params is not None:
       rf = lambda mm, dd: residual_fn_with_params(mm, dd, residual_params)
     else:
       rf = residual_fn
+    cf = cost_spec.cost if cost_spec is not None else cost_fn
     k1, k2 = jax.random.split(key)
     horizon_time = (horizon - 1) * m.opt.timestep
     policy = spline_lib.resample(policy, d0.time, horizon_time)
@@ -85,7 +87,8 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
         k1, policy.values, m, s_config.exploration, k_noise)
     candidates = jnp.concatenate([policy.values[None], noisy], axis=0)
     returns = jax.vmap(
-        lambda v: clean_return(rf, v, policy.t0, policy.dt, d0))(candidates)
+        lambda v: clean_return(rf, cf, v, policy.t0, policy.dt, d0))(
+            candidates)
 
     # top-N candidates by clean return
     _, top_idx = jax.lax.top_k(-returns, n_cand)
@@ -96,7 +99,7 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
     flat_vals = jnp.repeat(top, n_rep, axis=0)         # (N*M, P, nu)
     flat_keys = keys.reshape(n_cand * n_rep, 2)
     noisy_rets = jax.vmap(
-        lambda v, kk: noisy_return(rf, v, policy.t0, policy.dt, d0, kk))(
+        lambda v, kk: noisy_return(rf, cf, v, policy.t0, policy.dt, d0, kk))(
             flat_vals, flat_keys)
     avg = jnp.mean(noisy_rets.reshape(n_cand, n_rep), axis=1)
     winner = jnp.argmin(avg)
@@ -130,7 +133,8 @@ class RobustPlanner:
 
   def optimize(self, key, d0: Data):
     self.policy, info = self._optimize(key, d0, self.policy,
-                                       self.task.residual_params)
+                                       self.task.residual_params,
+                                       self.task.cost_spec)
     return info
 
   def action(self, time) -> jax.Array:

@@ -90,20 +90,23 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
   n_noisy = config.num_trajectory - n_grad
   ctrl_lo = None
 
-  def ret_of(rf, values, t0, dt, d0):
+  def ret_of(rf, cf, values, t0, dt, d0):
     def action(state, time):
       pol = spline_lib.SplinePolicy(
           t0=t0, dt=dt, values=values, interp=config.interp)
       return spline_lib.sample(pol, time)
     return rollout_lib.rollout(
-        m, rf, cost_fn, action, d0, horizon).total_return
+        m, rf, cf, action, d0, horizon).total_return
 
-  def optimize(key, d0, state: SGState, residual_params=None):
-    # params threaded as a traced value (see sampling.make_optimize_fn)
+  def optimize(key, d0, state: SGState, residual_params=None,
+               cost_spec=None):
+    # params + cost spec threaded as traced values
+    # (see sampling.make_optimize_fn)
     if residual_params is not None and residual_fn_with_params is not None:
       rf = lambda mm, dd: residual_fn_with_params(mm, dd, residual_params)
     else:
       rf = residual_fn
+    cf = cost_spec.cost if cost_spec is not None else cost_fn
     policy = state.policy
     dtype = policy.values.dtype
     horizon_time = (horizon - 1) * m.opt.timestep
@@ -118,7 +121,7 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
                           m.actuator_ctrlrange[:, 1])
     noisy_all = jnp.concatenate([policy.values[None], noisy_vals], axis=0)
     noisy_rets = jax.vmap(
-        lambda v: ret_of(rf, v, policy.t0, policy.dt, d0))(noisy_all)
+        lambda v: ret_of(rf, cf, v, policy.t0, policy.dt, d0))(noisy_all)
 
     # fitness-shaped gradient over noisy samples (exclude nominal idx 0)
     order = jnp.argsort(noisy_rets[1:])  # best first
@@ -136,7 +139,7 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
     grad_vals = jnp.clip(grad_vals, m.actuator_ctrlrange[:, 0],
                          m.actuator_ctrlrange[:, 1])
     grad_rets = jax.vmap(
-        lambda v: ret_of(rf, v, policy.t0, policy.dt, d0))(grad_vals)
+        lambda v: ret_of(rf, cf, v, policy.t0, policy.dt, d0))(grad_vals)
 
     all_vals = jnp.concatenate([noisy_all, grad_vals], axis=0)
     all_rets = jnp.concatenate([noisy_rets, grad_rets], axis=0)
@@ -169,7 +172,8 @@ class SampleGradientPlanner:
 
   def optimize(self, key, d0: Data):
     self.state, info = self._optimize(key, d0, self.state,
-                                      self.task.residual_params)
+                                      self.task.residual_params,
+                                      self.task.cost_spec)
     return info
 
   @property

@@ -62,13 +62,25 @@ def make_config(task, dtype=jnp.float32) -> SamplingConfig:
   )
 
 
+def node_spacing(m: Model, config: SamplingConfig) -> float:
+  """Node spacing dt = horizon_time / (P - extra) matching the reference's
+  UpdateNominalPolicy grid (sampling/planner.cc:244-310): zero-order
+  splines divide the window into P cells, linear/cubic into P-1."""
+  p = config.num_spline_points
+  denom = p if config.interp == spline_lib.Interpolation.ZERO else max(
+      p - 1, 1)
+  horizon_time = (config.horizon - 1) * float(jax.device_get(m.opt.timestep))
+  return max(horizon_time / denom, 1e-5)
+
+
 def initial_policy(m: Model, config: SamplingConfig,
                    dtype=jnp.float32) -> spline_lib.SplinePolicy:
   p = config.num_spline_points
   mid = 0.5 * (m.actuator_ctrlrange[:, 0] + m.actuator_ctrlrange[:, 1])
   values = jnp.tile(mid[None], (p, 1)).astype(dtype)
   return spline_lib.SplinePolicy(
-      t0=jnp.zeros((), dtype), dt=jnp.asarray(0.1, dtype), values=values,
+      t0=jnp.zeros((), dtype),
+      dt=jnp.asarray(node_spacing(m, config), dtype), values=values,
       interp=config.interp)
 
 
@@ -103,7 +115,11 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: SamplingConfig,
   the optional `residual_params` call argument is threaded to it as a
   TRACED value — so SetTaskParameters-style updates reach the jitted
   program (a residual_fn closing over `task.residual_params` bakes the
-  array as a compile-time constant instead)."""
+  array as a compile-time constant instead). Likewise the optional
+  `cost_spec` call argument (a CostSpec pytree: weights / norm_params /
+  risk traced, structure static) makes SetCostWeights-style updates
+  reach the program without recompiling or resetting the warm nominal
+  policy (reference live GUI sliders, mjpc/agent.cc:353-448)."""
   horizon = config.horizon
   k_noise = config.num_trajectory - 1
 
@@ -112,22 +128,27 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: SamplingConfig,
         t0=t0, dt=dt, values=values, interp=config.interp)
     return spline_lib.sample(pol, time)
 
-  def rollout_one(rf, values, t0, dt, d0):
+  def rollout_one(rf, cf, values, t0, dt, d0):
     return rollout_lib.rollout(
-        m, rf, cost_fn,
+        m, rf, cf,
         lambda state, time: policy_action(values, t0, dt, state, time),
         d0, horizon)
 
   def optimize(key, d0, policy: spline_lib.SplinePolicy,
-               residual_params=None):
+               residual_params=None, cost_spec=None):
     if residual_params is not None and residual_fn_with_params is not None:
       rf = lambda mm, dd: residual_fn_with_params(mm, dd, residual_params)
     else:
       rf = residual_fn
+    cf = cost_spec.cost if cost_spec is not None else cost_fn
     dtype = policy.values.dtype
     horizon_time = (horizon - 1) * m.opt.timestep
     # resample nominal onto the current window (or slide it forward)
     if config.sliding_plan:
+      # sliding preserves node values; pin dt to the horizon grid so the
+      # plan covers [t, t+horizon] for any horizon/spline-point count
+      # (reference time_shift, sampling/planner.cc:244-281)
+      policy = policy.replace(dt=jnp.asarray(node_spacing(m, config), dtype))
       policy = spline_lib.slide(policy, d0.time)
     else:
       policy = spline_lib.resample(policy, d0.time, horizon_time)
@@ -141,7 +162,8 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: SamplingConfig,
           candidates, NamedSharding(mesh, P("rollout")))
 
     trajs = jax.vmap(
-        lambda v: rollout_one(rf, v, policy.t0, policy.dt, d0))(candidates)
+        lambda v: rollout_one(rf, cf, v, policy.t0, policy.dt, d0))(
+            candidates)
     winner = jnp.argmin(trajs.total_return)
     best_values = candidates[winner]
     new_policy = policy.replace(values=best_values)
@@ -174,7 +196,8 @@ class SamplingPlanner:
 
   def optimize(self, key, d0: Data):
     self.policy, info = self._optimize(key, d0, self.policy,
-                                       self.task.residual_params)
+                                       self.task.residual_params,
+                                       self.task.cost_spec)
     return info
 
   def action(self, time) -> jax.Array:

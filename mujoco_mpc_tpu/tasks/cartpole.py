@@ -81,11 +81,13 @@ class Cartpole(base.Task):
     ])
 
   def residual_from_rollout(self, states: jax.Array, ctrls: jax.Array,
-                            times: jax.Array) -> jax.Array:
+                            times: jax.Array,
+                            params: jax.Array) -> jax.Array:
     """Lane-kernel scoring hook (ops/sampling_lane.py): the residual
     needs only qpos/qvel/ctrl, so it maps directly off the raw
-    (H, nq+nv, K) state block."""
-    goal = self.residual_params[0]
+    (H, nq+nv, K) state block. `params` is the traced residual-params
+    argument (not self.residual_params, which jit would bake)."""
+    goal = params[0]
     return jnp.stack([
         jnp.cos(states[:, 1]) - 1.0,   # Vertical
         states[:, 0] - goal,           # Centered

@@ -83,7 +83,8 @@ class Particle(base.Task):
     return d.replace(mocap_pos=mocap)
 
   def residual_from_rollout(self, states: jax.Array, ctrls: jax.Array,
-                            times: jax.Array) -> jax.Array:
+                            times: jax.Array,
+                            params: jax.Array) -> jax.Array:
     """Lane-kernel scoring hook (ops/sampling_lane.py): residuals from the
     raw (H, nq+nv, K) state block."""
     goal = lissajous_goal(times)            # (2, H)
