@@ -1,23 +1,31 @@
 """iLQG planner — TPU-native.
 
 Reference semantics (mjpc/planners/ilqg/):
-  * nominal (feedback) rollout from the current state;
+  * nominal trajectory from a parallel line search over FEEDBACK SCALING:
+    rollouts of u = u_nom + s*K*(x - x_nom) at log-scaled s (last = 0),
+    best becomes the nominal (NominalTrajectory + FeedbackRollouts,
+    planner.cc:167-223, 683-712);
   * dynamics + Gauss-Newton cost derivatives along the trajectory
     (here: AD, planners/derivatives.py);
-  * backward Riccati recursion with adaptive regularization
-    (backward_pass.cc:65-356) and a boxQP at every step for control limits
-    (projected Newton with free-set Cholesky, backward_pass.cc:158-217;
-    feedback rows of clamped controls are zeroed);
+  * backward Riccati recursion with FOUR regularization types — control
+    (Quu + mu I), state-control/"feedback" (Quu + mu B'B, Qxu + mu A'B),
+    value (Vxx + mu I inside the Q expansion), none
+    (backward_pass.cc:116-153, settings.h regularization_type 0..3) —
+    and a boxQP at every step for control limits (projected Newton with
+    free-set Cholesky, backward_pass.cc:158-217; feedback rows of clamped
+    controls are zeroed);
   * parallel line search over action-improvement scalings: rollouts of
-    u = u_nom + alpha*k + K*(x - x_nom) at log-scaled alphas
-    (ilqg/planner.cc:618-680, LogScale utilities.h:231);
-  * actual-vs-expected improvement drives the regularization schedule
-    (planner.cc:551-604).
+    u = u_nom + alpha*k + K*(x - x_nom) at log-scaled alphas with a final
+    alpha = 0 candidate (ilqg/planner.cc:618-680, LogScale utilities.h:231);
+  * actual-vs-expected improvement ("surprise" z = clip(improvement /
+    expected, 0, 2) with expected = -alpha*(dV0 + alpha*dV1)) drives the
+    regularization schedule with a compounding rate
+    (planner.cc:562-572, backward_pass.cc:327-356 Scale/UpdateRegularization).
 
 TPU design: the Riccati recursion is a reverse lax.scan (sequential in time,
 small matrices — fine); the boxQP is a fixed-iteration masked projected
-Newton, batched over time by the scan and over candidates by vmap; the line
-search is a vmapped batch of feedback rollouts.
+Newton, batched over time by the scan and over candidates by vmap; both
+line searches are vmapped batches of feedback rollouts.
 """
 
 from __future__ import annotations
@@ -34,6 +42,12 @@ from mujoco_mpc_tpu.physics import forward as F
 from mujoco_mpc_tpu.physics.model import Data, Model
 from mujoco_mpc_tpu.planners import derivatives as deriv
 
+# regularization types (reference settings.h: regularization_type)
+REG_CONTROL = 0
+REG_STATE_CONTROL = 1
+REG_VALUE = 2
+REG_NONE = 3
+
 
 @struct.dataclass
 class ILQGConfig:
@@ -45,6 +59,12 @@ class ILQGConfig:
   reg_max: float = struct.field(pytree_node=False, default=1e6)
   reg_factor: float = struct.field(pytree_node=False, default=10.0)
   max_reg_retries: int = struct.field(pytree_node=False, default=4)
+  # reference settings.h
+  reg_type: int = struct.field(pytree_node=False, default=REG_CONTROL)
+  min_linesearch_step: float = struct.field(pytree_node=False, default=1e-3)
+  nominal_feedback_scaling: bool = struct.field(pytree_node=False,
+                                                default=True)
+  num_fb_scales: int = struct.field(pytree_node=False, default=4)
 
 
 def make_config(task) -> ILQGConfig:
@@ -54,6 +74,7 @@ def make_config(task) -> ILQGConfig:
   return ILQGConfig(
       horizon=int(round(horizon_time / agent_timestep)) + 1,
       num_alphas=int(task.config("ilqg_num_rollouts", 8)),
+      reg_type=int(task.config("ilqg_regularization_type", REG_CONTROL)),
   )
 
 
@@ -66,6 +87,7 @@ class ILQGPolicy:
   times: jax.Array     # (T,)
   gains: jax.Array     # (T, nu, ndx)
   reg: jax.Array       # regularization carried across iterations
+  reg_rate: jax.Array  # compounding rate (backward_pass.cc:327-338)
 
 
 def _boxqp(quu, qu, lower, upper, iters: int):
@@ -113,14 +135,16 @@ def _boxqp(quu, qu, lower, upper, iters: int):
 
 
 def backward_pass(a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, reg,
-                  boxqp_iters: int):
-  """Riccati recursion with control-space regularization.
+                  boxqp_iters: int, reg_type: int = REG_CONTROL):
+  """Riccati recursion with selectable regularization type
+  (reference backward_pass.cc:65-247).
 
   a,b: (T-1, ...); cost expansions: (T, ...). Returns k (T-1, nu),
   K (T-1, nu, ndx), dv = (dv1, dv2), ok flag.
   """
   t_end = cx.shape[0] - 1
   nu = cu.shape[-1]
+  nx = cx.shape[-1]
 
   def step(carry, inp):
     vx, vxx = carry
@@ -128,13 +152,30 @@ def backward_pass(a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, reg,
     qx = cxt + at.T @ vx
     qu = cut + bt.T @ vx
     qxx = cxxt + at.T @ vxx @ at
-    qux = cxut.T + bt.T @ vxx @ at
+    qux = cxut.T + bt.T @ vxx @ at      # (nu, ndx)
     quu = cuut + bt.T @ vxx @ bt
-    quu_reg = quu + reg * jnp.eye(nu, dtype=qu.dtype)
+
+    # ---- regularized copies used for the gain/step solves ----
+    if reg_type == REG_VALUE:
+      vxx_reg = vxx + reg * jnp.eye(nx, dtype=qu.dtype)
+      qux_reg = cxut.T + bt.T @ vxx_reg @ at
+      quu_reg = cuut + bt.T @ vxx_reg @ bt
+    elif reg_type == REG_CONTROL:
+      qux_reg = qux
+      quu_reg = quu + reg * jnp.eye(nu, dtype=qu.dtype)
+    elif reg_type == REG_STATE_CONTROL:
+      # Qxu_reg = Qxu + mu A'B; Quu_reg = Quu + mu B'B
+      qux_reg = qux + reg * (bt.T @ at)
+      quu_reg = quu + reg * (bt.T @ bt)
+    else:  # REG_NONE
+      qux_reg = qux
+      quu_reg = quu + 1e-9 * jnp.eye(nu, dtype=qu.dtype)
 
     k, free, solve = _boxqp(quu_reg, qu, lo, hi, boxqp_iters)
-    kmat = -solve(free, qux)  # (nu, ndx), clamped rows zero
+    kmat = -solve(free, qux_reg)  # (nu, ndx), clamped rows zero
 
+    # cost-to-go update uses the UNregularized expansions
+    # (backward_pass.cc:219-246)
     vx_new = qx + kmat.T @ (quu @ k + qu) + qux.T @ k
     vxx_new = qxx + kmat.T @ quu @ kmat + kmat.T @ qux + qux.T @ kmat
     vxx_new = 0.5 * (vxx_new + vxx_new.T)
@@ -152,26 +193,59 @@ def backward_pass(a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, reg,
   return ks, kmats, (jnp.sum(dv1s), jnp.sum(dv2s)), ok
 
 
+def scale_regularization(reg, rate, factor, reg_min, reg_max):
+  """reference iLQGBackwardPass::ScaleRegularization
+  (backward_pass.cc:327-338): the rate compounds so repeated increases /
+  decreases accelerate."""
+  rate_new = jnp.where(factor > 1.0,
+                       jnp.maximum(rate * factor, factor),
+                       jnp.minimum(rate * factor, factor))
+  reg_new = jnp.clip(reg * rate_new, reg_min, reg_max)
+  return reg_new, rate_new
+
+
+def update_regularization(reg, rate, factor, reg_min, reg_max, z, s):
+  """reference iLQGBackwardPass::UpdateRegularization
+  (backward_pass.cc:341-356): surprise z and step size s pick the scale."""
+  bad = ~jnp.isfinite(z) | ~jnp.isfinite(s)
+  good = (z > 0.5) | (s > 0.3)
+  poor = (z < 0.1) | (s < 0.06)
+  factor_eff = jnp.where(
+      bad, factor * factor,
+      jnp.where(good, 1.0 / factor, jnp.where(poor, factor, 1.0)))
+  reg_new, rate_new = scale_regularization(reg, rate, factor_eff, reg_min,
+                                           reg_max)
+  keep = factor_eff == 1.0
+  return (jnp.where(keep, reg, reg_new), jnp.where(keep, rate, rate_new))
+
+
 def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
-                     config: ILQGConfig, mesh=None):
+                     config: ILQGConfig, mesh=None,
+                     residual_fn_with_params=None):
   horizon = config.horizon
   nx = deriv.ndx(m)
   lo_ctrl = m.actuator_ctrlrange[:, 0]
   hi_ctrl = m.actuator_ctrlrange[:, 1]
+  cost_spec_default = cost_spec
 
-  def feedback_rollout(d0, pol_states, pol_actions, ks, kmats, alpha):
-    """Rollout u_t = clamp(u_nom_t + alpha k_t + K_t (x - x_nom_t))."""
+  def feedback_rollout(rf, cf, d0, pol_states, pol_actions, ks, kmats,
+                       alpha, fb_scale):
+    """Rollout u_t = clamp(u_nom_t + alpha k_t + fb_scale K_t (x - x_nom_t)).
+
+    fb_scale is the reference's policy feedback_scaling
+    (ilqg/policy.cc:82-140); the nominal line search sweeps it."""
 
     def body(carry, inp):
       d = rollout_lib.from_carry(carry)
       x_nom, u_nom, k, kmat = inp
       state = rollout_lib.pack_state(d)
       dx = deriv.state_diff(m, state, x_nom)
-      u = u_nom + alpha * k + kmat @ dx
+      u = u_nom + alpha * k + fb_scale * (kmat @ dx)
       u = jnp.clip(u, lo_ctrl, hi_ctrl)
       d = d.replace(ctrl=u)
-      d = F.step(m, d)
-      r = residual_fn(m, d)
+      d = F.forward(m, d)
+      r = rf(m, d)  # pre-integration residual (rollout.py semantics)
+      d = F.integrate(m, d)
       fail = rollout_lib._diverged(d)
       return rollout_lib.slim_carry(d), (state, u, r, fail)
 
@@ -179,85 +253,127 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
     carry_final, (states, actions, residuals, fails) = jax.lax.scan(
         body, rollout_lib.slim_carry(d0), inputs)
     d_final = F.forward(m, rollout_lib.from_carry(carry_final))
-    r_last = residual_fn(m, d_final)
+    r_last = rf(m, d_final)
     states = jnp.concatenate(
         [states, rollout_lib.pack_state(d_final)[None]], axis=0)
     actions = jnp.concatenate([actions, actions[-1:]], axis=0)
     residuals = jnp.concatenate([residuals, r_last[None]], axis=0)
-    costs = cost_fn(residuals)
+    costs = cf(residuals)
     failure = jnp.any(fails) | ~jnp.all(jnp.isfinite(costs))
     total = jnp.where(failure, rollout_lib.MAX_RETURN_VALUE,
                       jnp.sum(costs) / horizon)
     return states, actions, total
 
-  def optimize(key, d0, policy: ILQGPolicy):
+  def optimize(key, d0, policy: ILQGPolicy, residual_params=None,
+               cost_spec=None):
+    # params + cost spec threaded as traced values
+    # (see sampling.make_optimize_fn)
     del key
+    if residual_params is not None and residual_fn_with_params is not None:
+      rf = lambda mm, dd: residual_fn_with_params(mm, dd, residual_params)
+    else:
+      rf = residual_fn
+    cs = cost_spec if cost_spec is not None else cost_spec_default
+    cf = cs.cost
     dtype = policy.actions.dtype
     template = F.forward(m, d0)
 
-    # 1. nominal rollout with current feedback policy (alpha = 0)
+    # 1. nominal trajectory: line search over feedback scaling
+    #    (NominalTrajectory/FeedbackRollouts, planner.cc:167-223,683-712):
+    #    log-scaled scales with a final 0 (pure feedforward replay)
     zero_k = jnp.zeros_like(policy.actions[:-1])
-    states, actions, nominal_return = feedback_rollout(
-        d0, policy.states, policy.actions, zero_k, policy.gains[:-1],
-        jnp.zeros((), dtype))
+    if config.nominal_feedback_scaling and config.num_fb_scales > 1:
+      n_s = config.num_fb_scales
+      fb_scales = jnp.concatenate([
+          jnp.logspace(0.0, jnp.log10(config.min_linesearch_step), n_s - 1,
+                       dtype=dtype),
+          jnp.zeros((1,), dtype)])
+      nom_states, nom_actions, nom_returns = jax.vmap(
+          lambda s: feedback_rollout(rf, cf, d0, policy.states,
+                                     policy.actions, zero_k,
+                                     policy.gains[:-1], jnp.zeros((), dtype),
+                                     s))(fb_scales)
+      best_nom = jnp.argmin(nom_returns)
+      states = nom_states[best_nom]
+      actions = nom_actions[best_nom]
+      nominal_return = nom_returns[best_nom]
+      feedback_scaling = fb_scales[best_nom]
+    else:
+      states, actions, nominal_return = feedback_rollout(
+          rf, cf, d0, policy.states, policy.actions, zero_k,
+          policy.gains[:-1], jnp.zeros((), dtype), jnp.ones((), dtype))
+      feedback_scaling = jnp.ones((), dtype)
     times = template.time + m.opt.timestep * jnp.arange(horizon, dtype=dtype)
 
     # 2. derivatives along the nominal
     a, b = deriv.model_derivatives(
         m, template, states[:-1], actions[:-1], times[:-1])
     cx, cu, cxx, cxu, cuu = deriv.cost_derivatives(
-        m, template, residual_fn, cost_spec, states, actions, times)
+        m, template, rf, cs, states, actions, times)
 
     # 3. backward pass with regularization escalation on failure
     du_lower = lo_ctrl[None] - actions[:-1]
     du_upper = hi_ctrl[None] - actions[:-1]
 
     def cond(carry):
-      reg, ks, kmats, ok, tries = carry
+      reg, ks, kmats, dv1, dv2, ok, tries = carry
       return (~ok) & (tries < config.max_reg_retries)
 
     def body(carry):
-      reg, _, _, _, tries = carry
+      reg, _, _, _, _, _, tries = carry
       reg_new = jnp.minimum(reg * config.reg_factor, config.reg_max)
       ks, kmats, dv, ok = backward_pass(
           a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, reg_new,
-          config.boxqp_iters)
-      return (reg_new, ks, kmats, ok, tries + 1)
+          config.boxqp_iters, config.reg_type)
+      return (reg_new, ks, kmats, dv[0], dv[1], ok, tries + 1)
 
     ks0, kmats0, dv0, ok0 = backward_pass(
         a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, policy.reg,
-        config.boxqp_iters)
-    reg, ks, kmats, ok, _ = jax.lax.while_loop(
-        cond, body, (policy.reg, ks0, kmats0, ok0, jnp.zeros((), jnp.int32)))
+        config.boxqp_iters, config.reg_type)
+    reg, ks, kmats, dv1, dv2, ok, _ = jax.lax.while_loop(
+        cond, body, (policy.reg, ks0, kmats0, dv0[0], dv0[1], ok0,
+                     jnp.zeros((), jnp.int32)))
 
-    # 4. parallel line search over log-scaled alphas (LogScale semantics)
-    alphas = jnp.logspace(0.0, -3.0, config.num_alphas, dtype=dtype)
+    # 4. parallel line search over log-scaled alphas + a final alpha = 0
+    #    (ActionRollouts; LogScale semantics, planner.cc:177-180,618-680)
+    alphas = jnp.concatenate([
+        jnp.logspace(0.0, jnp.log10(config.min_linesearch_step),
+                     config.num_alphas - 1, dtype=dtype),
+        jnp.zeros((1,), dtype)])
     ls_states, ls_actions, ls_returns = jax.vmap(
-        lambda al: feedback_rollout(d0, states, actions, ks, kmats, al))(
-            alphas)
+        lambda al: feedback_rollout(rf, cf, d0, states, actions, ks, kmats,
+                                    al, jnp.ones((), dtype)))(alphas)
     best = jnp.argmin(ls_returns)
     best_return = ls_returns[best]
     improved = best_return < nominal_return
 
     new_states = jnp.where(improved, ls_states[best], states)
     new_actions = jnp.where(improved, ls_actions[best], actions)
-    # regularization schedule: decrease on success, increase on failure
-    new_reg = jnp.clip(
-        jnp.where(improved, reg / config.reg_factor,
-                  reg * config.reg_factor),
-        config.reg_min, config.reg_max)
+
+    # 5. surprise-driven regularization schedule (planner.cc:562-572):
+    #    expected = -alpha*(dV0 + alpha*dV1), z = clip(improve/expected, 0, 2)
+    action_step = alphas[best]
+    expected = -action_step * (dv1 + action_step * dv2) + 1e-16
+    improvement = nominal_return - best_return
+    surprise = jnp.clip(improvement / expected, 0.0, 2.0)
+    new_reg, new_rate = update_regularization(
+        reg, policy.reg_rate, config.reg_factor, config.reg_min,
+        config.reg_max, surprise, action_step)
 
     gains = jnp.concatenate([kmats, kmats[-1:]], axis=0)
     new_policy = ILQGPolicy(
         states=new_states, actions=new_actions, times=times, gains=gains,
-        reg=new_reg)
+        reg=new_reg, reg_rate=new_rate)
     info = {
         "nominal_return": nominal_return,
         "best_return": jnp.minimum(best_return, nominal_return),
-        "alpha": alphas[best],
+        "alpha": action_step,
         "improved": improved,
         "backward_ok": ok,
         "reg": new_reg,
+        "surprise": surprise,
+        "expected": expected,
+        "feedback_scaling": feedback_scaling,
     }
     return new_policy, info
 
@@ -273,7 +389,8 @@ def initial_policy(m: Model, config: ILQGConfig, d0: Data,
       actions=jnp.zeros((t, m.nu), dtype),
       times=jnp.zeros((t,), dtype),
       gains=jnp.zeros((t, m.nu, deriv.ndx(m)), dtype),
-      reg=jnp.asarray(config.reg_initial, dtype))
+      reg=jnp.asarray(config.reg_initial, dtype),
+      reg_rate=jnp.ones((), dtype))
 
 
 class ILQGPlanner:
@@ -287,12 +404,14 @@ class ILQGPlanner:
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
     self._optimize = jax.jit(make_optimize_fn(
         self.m, residual_fn, task.cost_spec.cost, task.cost_spec,
-        self.config))
+        self.config, residual_fn_with_params=task.residual))
     self.policy = initial_policy(self.m, self.config, task.make_data(),
                                  dtype)
 
   def optimize(self, key, d0: Data):
-    self.policy, info = self._optimize(key, d0, self.policy)
+    self.policy, info = self._optimize(key, d0, self.policy,
+                                       self.task.residual_params,
+                                       self.task.cost_spec)
     return info
 
   def action(self, time, state=None) -> jax.Array:
