@@ -51,7 +51,17 @@ class AgentServicer:
     from mujoco_mpc_tpu.tasks import registry
 
     task_id = request.task_id or "Cartpole"
-    self.task = registry.get_task(task_id)
+    # model override from request bytes/xml (grpc_agent_util.cc InitAgent)
+    override = None
+    if request.HasField("model"):
+      if request.model.HasField("xml") and request.model.xml:
+        override = request.model.xml
+      elif request.model.HasField("mjb") and request.model.mjb:
+        override = bytes(request.model.mjb)
+    if override is not None:
+      self.task = registry.get_task(task_id, model_override=override)
+    else:
+      self.task = registry.get_task(task_id)
     self.agent = Agent(self.task)
     return agent_pb2.InitResponse()
 
@@ -99,19 +109,40 @@ class AgentServicer:
     return agent_pb2.SetStateResponse()
 
   def GetAction(self, request, context):
+    import jax
     import jax.numpy as jnp
     agent = self._require()
     time = request.time if request.HasField("time") else float(
         agent.data.time)
+    nominal = bool(request.nominal_action)
+
+    def policy_action(t, d):
+      if not nominal and agent._planner_takes_state:
+        state = jnp.concatenate([d.qpos, d.qvel, d.act])
+        return agent.planner.action(t, state=state)
+      return agent.planner.action(t)
+
     if request.averaging_duration > 0:
-      # average policy actions over a window (grpc_agent_util.cc:166-197)
       h = float(agent.m.opt.timestep)
       n = max(1, int(round(request.averaging_duration / h)))
-      actions = [np.asarray(agent.planner.action(time + i * h))
-                 for i in range(n)]
+      if nominal:
+        # average the policy over the window without stepping physics
+        # (grpc_agent_util.cc AverageAction nominal branch, :176-183)
+        actions = [np.asarray(agent.planner.action(time + i * h))
+                   for i in range(n)]
+      else:
+        # roll PHYSICS forward from the current state, querying the
+        # policy (with state feedback where supported) at each step and
+        # averaging the applied actions (:184-196)
+        d = agent.data.replace(time=jnp.asarray(time, agent.data.qpos.dtype))
+        actions = []
+        for _ in range(n):
+          u = policy_action(float(d.time), d)
+          actions.append(np.asarray(u))
+          d = agent._step(d.replace(ctrl=u))
       action = np.mean(actions, axis=0)
     else:
-      action = np.asarray(agent.planner.action(time))
+      action = np.asarray(policy_action(time, agent.data))
     return agent_pb2.GetActionResponse(action=action.tolist())
 
   def PlannerStep(self, request, context):
@@ -169,15 +200,14 @@ class AgentServicer:
   def GetCostValuesAndWeights(self, request, context):
     agent = self._require()
     resp = agent_pb2.GetCostValuesAndWeightsResponse()
-    terms = agent.get_cost_term_values()
+    terms = agent.get_cost_term_values(weighted=False)
     weights = agent.get_cost_weights()
     cs = agent.task.cost_spec
     for k, name in enumerate(cs.term_names):
-      # unweighted term value + weight (agent.proto semantics)
-      w = float(weights[name])
-      v = float(terms[name]) / w if w else float(terms[name])
-      resp.values_weights[name].value = v
-      resp.values_weights[name].weight = w
+      # unweighted norm value + weight (agent.proto semantics); computed
+      # unweighted directly so zero-weighted terms report their true value
+      resp.values_weights[name].value = float(terms[name])
+      resp.values_weights[name].weight = float(weights[name])
     return resp
 
   def SetMode(self, request, context):

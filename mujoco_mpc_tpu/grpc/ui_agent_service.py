@@ -34,6 +34,8 @@ class LiveLoop:
     self._jobs: "queue.Queue[tuple[Callable, threading.Event, list]]" = \
         queue.Queue()
     self._stop = threading.Event()
+    self.step_count = 0
+    self._step_cv = threading.Condition()
     # single worker thread interleaves planning and stepping: the jax
     # backend here cannot execute two jitted programs concurrently from
     # different Python threads (and a single TPU serializes programs
@@ -79,6 +81,9 @@ class LiveLoop:
       n += 1
       try:
         self.agent.step_env()
+        with self._step_cv:
+          self.step_count += 1
+          self._step_cv.notify_all()
       except Exception as e:  # keep the loop alive; report once
         if not getattr(self, "_step_error", None):
           self._step_error = e
@@ -90,6 +95,17 @@ class LiveLoop:
       budget = dt / max(self.real_time_speed, 1e-6)
       if elapsed < budget:
         time.sleep(budget - elapsed)
+
+  def wait_for_step(self, timeout: float = 60.0):
+    """Block until the live loop completes at least one more physics
+    step. Gives Step RPC clients a real synchronization barrier: after
+    Step returns, GetState observes a strictly advanced state."""
+    with self._step_cv:
+      target = self.step_count + 1
+      ok = self._step_cv.wait_for(lambda: self.step_count >= target,
+                                  timeout)
+    if not ok:
+      raise TimeoutError("physics loop did not advance")
 
   def stop(self):
     self._stop.set()
@@ -125,7 +141,12 @@ class UiAgentServicer(AgentServicer):
     return self.loop.run_before_step(fn)
 
   def Step(self, request, context):
-    # the live loop steps continuously; Step is a no-op synchronization
+    # the live loop steps continuously (reference ui_agent_service.cc:166-171
+    # is a pure no-op); here Step additionally BLOCKS until the loop
+    # completes one more physics step, so lockstep clients that call
+    # step() observe an advanced state instead of silently free-running
+    if self.loop is not None:
+      self.loop.wait_for_step()
     return agent_pb2.StepResponse()
 
 

@@ -26,13 +26,27 @@ class Task:
 
   name: str = "Task"
 
-  def __init__(self, dtype=jnp.float32):
+  def __init__(self, dtype=jnp.float32, model_override=None):
+    """model_override: replacement model as an XML string or mjb bytes —
+    the gRPC Init(model=...) capability (reference grpc_agent_util.cc
+    InitAgent + LoadModelFrom{String,Bytes}): physics runs the supplied
+    model while the task's residual/cost conventions still apply."""
     import mujoco
-    xml = self.xml()
-    if xml.strip().startswith("<"):
-      self.mjm = mujoco.MjModel.from_xml_string(xml, self.assets())
+    if isinstance(model_override, bytes):
+      import tempfile
+      with tempfile.NamedTemporaryFile(suffix=".mjb") as f:
+        f.write(model_override)
+        f.flush()
+        self.mjm = mujoco.MjModel.from_binary_path(f.name)
+    elif isinstance(model_override, str):
+      self.mjm = mujoco.MjModel.from_xml_string(model_override,
+                                                self.assets())
     else:
-      self.mjm = mujoco.MjModel.from_xml_path(xml)
+      xml = self.xml()
+      if xml.strip().startswith("<"):
+        self.mjm = mujoco.MjModel.from_xml_string(xml, self.assets())
+      else:
+        self.mjm = mujoco.MjModel.from_xml_path(xml)
     self.model = model_lib.put_model(self.mjm, dtype=dtype)
     # planning model: the reference overrides timestep/integrator for the
     # planner's internal model (agent_timestep / agent_integrator custom

@@ -76,6 +76,43 @@ def test_task_parameters(stub):
   assert abs(got.parameters["Goal"].numeric - 0.7) < 1e-6
 
 
+def test_init_with_custom_model_xml(stub):
+  """Init(model=MjModel(xml=...)) loads the supplied model instead of
+  the task default (reference grpc_agent_util.cc InitAgent +
+  LoadModelFromString). Observable over the wire: the override narrows
+  ctrlrange to [-0.3, 0.3], and GetAction clips to it."""
+  from mujoco_mpc_tpu.tasks import registry
+  xml = registry.get_task("Cartpole").xml().replace(
+      'ctrlrange="-1 1"', 'ctrlrange="-0.3 0.3"')
+  stub.Init(agent_pb2.InitRequest(
+      task_id="Cartpole", model=agent_pb2.MjModel(xml=xml)))
+  stub.SetState(agent_pb2.SetStateRequest(
+      state=agent_pb2.State(qpos=[0.0, 3.0])))
+  stub.PlannerStep(agent_pb2.PlannerStepRequest())
+  act = np.array(stub.GetAction(agent_pb2.GetActionRequest()).action)
+  assert act.shape == (1,)
+  assert np.all(np.abs(act) <= 0.3 + 1e-6)
+  # restore the default model for any later module tests
+  stub.Init(agent_pb2.InitRequest(task_id="Cartpole"))
+
+
+def test_get_action_physics_averaging(stub):
+  """averaging_duration > 0 with nominal_action unset rolls physics
+  forward and averages the applied actions (grpc_agent_util.cc:166-197);
+  nominal_action=True averages the policy without stepping."""
+  stub.Reset(agent_pb2.ResetRequest())
+  stub.SetState(agent_pb2.SetStateRequest(
+      state=agent_pb2.State(qpos=[0.0, 2.4])))
+  stub.PlannerStep(agent_pb2.PlannerStepRequest())
+  rolled = np.array(stub.GetAction(agent_pb2.GetActionRequest(
+      averaging_duration=0.05)).action)
+  nominal = np.array(stub.GetAction(agent_pb2.GetActionRequest(
+      averaging_duration=0.05, nominal_action=True)).action)
+  assert rolled.shape == nominal.shape == (1,)
+  assert np.all(np.isfinite(rolled)) and np.all(np.isfinite(nominal))
+  assert np.all(np.abs(rolled) <= 1.0 + 1e-6)
+
+
 def test_modes_and_trajectory(stub):
   modes = stub.GetAllModes(agent_pb2.GetAllModesRequest()).mode_names
   assert len(modes) >= 1
