@@ -15,3 +15,11 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the suite's cost is dominated by XLA CPU
+# compiles; cache hits make re-runs cheap (VERDICT r1 weak #9).
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -22,7 +22,8 @@ def _improves(planner, d0, iters=6):
     info = planner.optimize(sub, d0)
     rets.append(float(info["best_return"]))
   assert all(np.isfinite(rets)), rets
-  assert min(rets) < rets[0] or rets[-1] <= rets[0], rets
+  # strict improvement over the first iterate (a no-op planner fails)
+  assert min(rets[1:]) < rets[0], rets
   return rets
 
 
@@ -57,10 +58,10 @@ def test_ilqs_planner():
   from mujoco_mpc_tpu.planners import ilqs
   task = registry.get_task("Cartpole")
   planner = ilqs.ILQSPlanner(task)
-  # keep it cheap: two iterations, finite + improving-or-equal
+  # keep it cheap: two iterations, finite + strict improvement
   key = jax.random.PRNGKey(0)
   d0 = _d0(task)
   info1 = planner.optimize(key, d0)
-  info2 = planner.optimize(key, d0)
+  info2 = planner.optimize(jax.random.split(key)[0], d0)
   assert np.isfinite(info2["best_return"])
-  assert info2["best_return"] <= info1["best_return"] + 1e-3
+  assert info2["best_return"] < info1["best_return"]

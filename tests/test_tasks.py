@@ -56,20 +56,25 @@ def test_particle_tracks_goal():
   assert dist < 0.1, f"particle {dist} from goal"
 
 
-def test_cem_cartpole_improves():
+def test_cem_improves():
+  # ParticleFixed from a displaced start: a landscape CEM reliably
+  # descends (cartpole-from-hanging plateaus at this budget and the old
+  # assertion passed on noise)
   from mujoco_mpc_tpu.planners import cross_entropy
-  task = registry.get_task("Cartpole")
+  task = registry.get_task("ParticleFixed")
   config = cross_entropy.make_config(task)
   planner = cross_entropy.CrossEntropyPlanner(task, config)
   d0 = task.make_data()
+  d0 = d0.replace(qpos=d0.qpos.at[0].set(0.2).at[1].set(-0.2))
   key = jax.random.PRNGKey(0)
   rets = []
   for i in range(8):
     key, sub = jax.random.split(key)
     info = planner.optimize(sub, d0)
     rets.append(float(info["best_return"]))
-  assert rets[-1] < rets[0]
   assert all(np.isfinite(rets))
+  # strict, substantial improvement
+  assert rets[-1] < 0.95 * rets[0], rets
 
 
 def test_all_registered_tasks_load_and_step():
