@@ -26,13 +26,15 @@ from mujoco_mpc_tpu.tasks import base as task_base
 
 PLANNER_NAMES = ["Sampling", "Gradient", "iLQG", "iLQS", "Robust Sampling",
                  "Cross Entropy", "Sample Gradient"]
+ESTIMATOR_NAMES = ["Ground Truth", "Kalman", "Unscented", "Batch"]
 
 
 class Agent:
   """Plan/act orchestration for one task."""
 
   def __init__(self, task: task_base.Task, planner: Optional[str] = None,
-               seed: int = 0):
+               seed: int = 0, estimator: Optional[str] = None,
+               sensor_noise: float = 0.0):
     self.task = task
     self.m = task.model
     planner_id = int(task.config("agent_planner", 0))
@@ -47,6 +49,50 @@ class Agent:
     self.steps_per_plan = 1
     self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
     self._pending_plan = None
+    # estimator-in-the-loop (reference: Agent owns the estimators,
+    # agent.h:50-51, and the app's EstimatorLoop feeds sim sensors to the
+    # active estimator whose state the planner consumes, app.cc:151-206).
+    # "Ground Truth" = plan from the true simulation state (no filter).
+    self.estimator_name = estimator or ESTIMATOR_NAMES[
+        int(task.config("estimator", 0))]
+    self.estimator = self._make_estimator(self.estimator_name)
+    self.sensor_noise = float(sensor_noise)
+    self._np_rng = np.random.default_rng(seed + 1)
+    if self.estimator is not None:
+      from mujoco_mpc_tpu.physics import sensors as sensors_lib
+      sensor_fn = sensors_lib.make_sensor_fn(task.mjm)
+      self._sensor = jax.jit(lambda d: sensor_fn(self.m, d))
+
+  def _make_estimator(self, name: str):
+    if name in (None, "Ground Truth", "GroundTruth"):
+      return None
+    if name == "Kalman":
+      from mujoco_mpc_tpu.estimators import kalman
+      return kalman.Kalman(self.task)
+    if name == "Unscented":
+      from mujoco_mpc_tpu.estimators import unscented
+      return unscented.Unscented(self.task)
+    if name == "Batch":
+      from mujoco_mpc_tpu.estimators import batch
+      return batch.Batch(self.task)
+    raise ValueError(f"unknown estimator {name}")
+
+  def set_estimator(self, name: str):
+    self.estimator_name = name
+    self.estimator = self._make_estimator(name)
+    if self.estimator is not None and not hasattr(self, "_sensor"):
+      from mujoco_mpc_tpu.physics import sensors as sensors_lib
+      sensor_fn = sensors_lib.make_sensor_fn(self.task.mjm)
+      self._sensor = jax.jit(lambda d: sensor_fn(self.m, d))
+
+  def plan_data(self):
+    """The Data the planner sees: estimator state when filtering is on
+    (reference SetState from the EstimatorLoop), else the true state."""
+    if self.estimator is None:
+      return self.data
+    from mujoco_mpc_tpu import rollout as rollout_lib
+    return rollout_lib.set_state(
+        self.m, self.data, jnp.asarray(self.estimator.state))
 
   def _make_planner(self, name: str):
     if name in ("Sampling Lane", "Predictive Sampling Lane"):
@@ -102,19 +148,22 @@ class Agent:
     self.data = self.task.make_data()
     self.planner = self._make_planner(self.planner_name)
     self._planner_takes_state = self._action_takes_state(self.planner)
+    if self.estimator is not None:
+      self.estimator.reset()
 
   def plan_iteration(self):
-    """One planner iteration from the current state (agent.cc:270-315)."""
+    """One planner iteration from the current (estimated) state
+    (agent.cc:270-315; state source app.cc:151-206)."""
     self.key, sub = jax.random.split(self.key)
-    return self.planner.optimize(sub, self.data)
+    return self.planner.optimize(sub, self.plan_data())
 
   def action(self) -> jax.Array:
     # feedback-capable planners (iLQG/iLQS) receive the CURRENT state so
     # their time-indexed gains actually fire (reference policy.Action gets
     # the state, ilqg/policy.cc:82-140; round-1 gap: VERDICT weak #3)
     if self._planner_takes_state:
-      state = jnp.concatenate(
-          [self.data.qpos, self.data.qvel, self.data.act])
+      d = self.plan_data()
+      state = jnp.concatenate([d.qpos, d.qvel, d.act])
       return self.planner.action(self.data.time, state=state)
     return self.planner.action(self.data.time)
 
@@ -124,6 +173,21 @@ class Agent:
     self.data = self.data.replace(ctrl=u)
     self.data = self._step(self.data)
     self.data = self.task.transition(self.data)
+    if self.estimator is not None:
+      # feed the filter the (noisy) sim sensor reading for this step —
+      # the EstimatorLoop of the reference app (app.cc:151-206). Our
+      # sensor is read AFTER the step, so the time-consistent order is
+      # predict (t -> t+1 under u) then correct with y_{t+1}; the
+      # reference reads sensors pre-step and uses the opposite order.
+      y = np.asarray(self._sensor(self.data))
+      if self.sensor_noise > 0.0:
+        y = y + self._np_rng.normal(scale=self.sensor_noise, size=y.shape)
+      u_np = np.asarray(u)
+      if hasattr(self.estimator, "update_prediction"):
+        self.estimator.update_prediction(u_np)
+        self.estimator.update_measurement(u_np, y)
+      else:
+        self.estimator.update(u_np, y)
 
   def run(self, total_time: float, steps_per_plan: int = 4,
           async_plan: bool = False):
