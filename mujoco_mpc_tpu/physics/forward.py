@@ -14,7 +14,8 @@ import numpy as np
 from mujoco_mpc_tpu.physics import constraint as C
 from mujoco_mpc_tpu.physics import kinematics as K
 from mujoco_mpc_tpu.physics import smooth as S
-from mujoco_mpc_tpu.physics.model import (BALL, EULER, FREE, HINGE, RK4,
+from mujoco_mpc_tpu.physics.model import (BALL, EULER, FREE, HINGE,
+                                          IMPLICIT, IMPLICITFAST, RK4,
                                           SLIDE, Data, Model)
 from mujoco_mpc_tpu.physics import math as mm
 
@@ -147,6 +148,49 @@ def rk4(m: Model, d: Data) -> Data:
   return d0.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + dt)
 
 
+def _qderiv(m: Model, d: Data, include_rne: bool) -> jax.Array:
+  """D = d(qfrc_passive + qfrc_actuator [- qfrc_bias])/d qvel at fixed
+  positions — the velocity-force Jacobian of mjd_smooth_vel. The
+  reference engine assembles it analytically (damping/affine-actuator/
+  fluid/RNE terms); here it is one forward-mode AD sweep (nv tangents)
+  through the velocity-dependent stages, which XLA batches."""
+
+  def f(qvel):
+    dd = d.replace(qvel=qvel)
+    dd = K.com_vel(m, dd)
+    out = jnp.zeros_like(qvel)
+    if include_rne:
+      dd = S.rne(m, dd)
+      out = out - dd.qfrc_bias
+    dd = S.passive(m, dd)
+    dd = S.actuation(m, dd)
+    return out + dd.qfrc_passive + dd.qfrc_actuator
+
+  return jax.jacfwd(f)(d.qvel)
+
+
+def implicit(m: Model, d: Data, fast: bool) -> Data:
+  """Implicit-in-velocity integration (mj_implicit):
+  (M - h·D) qacc = qfrc_smooth + qfrc_constraint.
+
+  implicitfast drops the RNE (Coriolis) derivative from D and
+  symmetrizes so a Cholesky solve applies (the reference's rationale:
+  M's own derivative terms make D near-symmetric without RNE); full
+  implicit keeps RNE and uses an LU solve."""
+  dt = m.opt.timestep
+  dmat = _qderiv(m, d, include_rne=not fast)
+  mh = d.qM - dt * dmat
+  rhs = d.qfrc_smooth + d.qfrc_constraint
+  if fast:
+    mh = 0.5 * (mh + mh.T)
+    chol = jnp.linalg.cholesky(mh)
+    y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+    qacc = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+  else:
+    qacc = jnp.linalg.solve(mh, rhs)
+  return _advance(m, d, qacc, d.act_dot)
+
+
 def integrate(m: Model, d: Data) -> Data:
   """Integration stage of mj_step, assuming forward() already ran on d.
 
@@ -155,6 +199,10 @@ def integrate(m: Model, d: Data) -> Data:
   evaluation) before advancing the state."""
   if m.opt.integrator == RK4:
     return rk4(m, d)
+  if m.opt.integrator == IMPLICIT:
+    return implicit(m, d, fast=False)
+  if m.opt.integrator == IMPLICITFAST:
+    return implicit(m, d, fast=True)
   return euler(m, d)
 
 

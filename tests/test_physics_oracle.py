@@ -232,3 +232,32 @@ def test_frictionloss_tracks_mujoco():
   # both sims must agree
   np.testing.assert_allclose(d.qpos, mjd.qpos, atol=0.02)
   np.testing.assert_allclose(d.qvel, mjd.qvel, atol=0.05)
+
+
+@pytest.mark.parametrize("integrator", ["implicitfast", "implicit"])
+@pytest.mark.parametrize("xml", [test_models.CHAIN, test_models.FLOATER])
+def test_implicit_integrators_match_mujoco(xml, integrator):
+  """mj_implicit parity: (M - h*D) qacc = qfrc, D = d qfrc/d qvel via AD
+  (reference task XMLs — e.g. several hand/humanoid tasks — set
+  integrator="implicitfast")."""
+  from mujoco_mpc_tpu.physics import forward as F
+  xml = xml.replace("<option ", f'<option integrator="{integrator}" ')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  assert mjm.opt.integrator in (2, 3)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+  rng = np.random.default_rng(7)
+  _randomize(mjm, mjd, rng, vel_scale=0.2)
+  mjd.ctrl[:] = rng.uniform(-1, 1, mjm.nu)
+
+  d = M.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel),
+                ctrl=jnp.asarray(mjd.ctrl))
+  from mujoco_mpc_tpu.physics.model import IMPLICIT, IMPLICITFAST
+  assert m.opt.integrator in (IMPLICIT, IMPLICITFAST)
+  step = jax.jit(lambda d: F.step(m, d))
+  for t in range(50):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  np.testing.assert_allclose(d.qpos, mjd.qpos, atol=5e-3)
+  np.testing.assert_allclose(d.qvel, mjd.qvel, atol=2e-2)
