@@ -27,7 +27,8 @@ from mujoco_mpc_tpu.planners import sampling
 def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
                           interpret: bool = False, solver_iters=None,
                           solver_ls_iters=None, contact_types=None,
-                          unroll: bool = True, mesh=None):
+                          unroll: bool = True, mesh=None,
+                          contact_geoms="task"):
   """Jittable optimizer for lane-kernel-eligible tasks.
 
   Residuals come from one of two task hooks, preferred in order:
@@ -57,17 +58,24 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   p = config.num_spline_points
   nu, nq, nv = m.nu, m.nq, m.nv
   k_total = config.num_trajectory
+  if contact_geoms == "task":
+    # planning-contact whitelist (e.g. feet + trunk) declared by the task
+    contact_geoms = getattr(task, "plan_contact_geoms", None)
   if spec is not None:
+    # record_states=False: the planner only needs residual rows + the
+    # final state's finiteness, and the smaller output block lets the
+    # kernel run full-VPU-tile candidate blocks (KB=1024)
     kernel = step_lane.build_rollout_kernel(
         m, horizon, p, interpret=interpret, unroll=unroll,
         contact_types=contact_types, solver_iters=solver_iters,
         solver_ls_iters=solver_ls_iters, residual_fn=spec["fn"],
-        residual_dim=spec["dim"], naux=spec["naux"])
+        residual_dim=spec["dim"], naux=spec["naux"],
+        record_states=False, contact_geoms=contact_geoms)
   else:
     kernel = step_lane.build_rollout_kernel(
         m, horizon, p, interpret=interpret, unroll=unroll,
         contact_types=contact_types, solver_iters=solver_iters,
-        solver_ls_iters=solver_ls_iters)
+        solver_ls_iters=solver_ls_iters, contact_geoms=contact_geoms)
   h = float(jax.device_get(m.opt.timestep))
   node_of = np.array([min(int(t * p / max(horizon - 1, 1)), p - 1)
                       for t in range(horizon)])
@@ -82,7 +90,8 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
     if spec is not None:
       kernel = jax.shard_map(
           kernel, mesh=mesh, in_specs=(lane, lane, lane, lane),
-          out_specs=P(None, None, axis), check_vma=False)
+          out_specs=(P(None, None, axis), P(None, axis)),
+          check_vma=False)
     else:
       kernel = jax.shard_map(
           kernel, mesh=mesh, in_specs=(lane, lane, lane),
@@ -114,9 +123,8 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
       aux = jnp.tile(
           spec["make_aux"](d0, residual_params)[:, None].astype(dtype),
           (1, k_total))
-      out = kernel(qpos0, qvel0, values_lane, aux)  # (H, nq+nv+nr, K)
-      states = out[:, :nq + nv]
-      residuals = out[:, nq + nv:]                  # (H, nr, K)
+      residuals, final_state = kernel(qpos0, qvel0, values_lane, aux)
+      states = final_state[None]                    # (1, nq+nv, K)
     else:
       states = kernel(qpos0, qvel0, values_lane)    # (H, nq+nv, K)
       times = d0.time + h * jnp.arange(horizon, dtype=dtype)

@@ -116,7 +116,9 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                          interpret: bool = False, unroll: bool = True,
                          contact_types=None, solver_iters=None,
                          solver_ls_iters=None, residual_fn=None,
-                         residual_dim=0, naux=0) -> Callable:
+                         residual_dim=0, naux=0,
+                         record_states: bool = True,
+                         contact_geoms=None) -> Callable:
   """Returns fn(qpos0 (nq,K), qvel0 (nv,K), values (P*nu, K)) ->
   states (horizon, nq+nv, K) for a zero-order-hold spline with
   node_of_step[t] = floor(t * P / horizon) (the planner's uniform grid).
@@ -141,6 +143,14 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
   threaded rollout loop (mjpc/trajectory.cc Rollout -> residual).
   aux (naux, K) carries per-candidate scalars (time origin, goal,
   residual params).
+
+  record_states=False (requires residual_fn) changes the output to
+  (residuals (horizon, nr, K), final_state (nq+nv, K)): the sampling
+  planner only consumes per-step residual rows and final-state
+  finiteness, and dropping the per-step trajectory store shrinks the
+  output block ~4x, which lets the candidate block KB rise to 1024 — a
+  full (8, 128) VPU tile per elementwise op instead of the quarter-tile
+  (2, 128) the trajectory-recording layout forced.
   """
   assert supports(m, ground_only=True), \
       "model outside the kernel's class"
@@ -551,6 +561,10 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
           continue
         for pi in range(g.count):
           g1, g2 = int(g.geom1[pi]), int(g.geom2[pi])
+          if contact_geoms is not None and g2 not in contact_geoms:
+            # planning-contact whitelist (e.g. feet only) — same spirit
+            # as the reference's reduced planning models
+            continue
           ci = meta[(g1, g2)]
           bid = int(m.geom_bodyid[g2])
           # static plane frame (world body)
@@ -601,22 +615,36 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                       lm.const_vec3(n_pl, like), 0.5 * dist))
                   add_contact(bid, pt, dist, n_pl, ci)
 
-    # ---- packed-row Newton constraint solve ----
-    # Rows pack to J (nrow, nv, K), aref/dcoef to (nrow, K), the mass
-    # matrix to M (nv, nv, K): the grad / Hessian / line-search
-    # accumulations become O(nv) traced array ops on lane blocks instead
-    # of O(nrow * support^2) python-unrolled scalar ops. This cuts trace
-    # time ~10-30x (ops/README.md roadmap #1; humanoid full-step traces
-    # became practical) and engages all nv sublanes of the VPU per op
-    # instead of 1.
+    # ---- support-grouped packed-row Newton constraint solve ----
+    # Rows are grouped by their STATIC dof-support pattern (a joint-limit
+    # row touches 1 dof; a foot-contact row touches trunk + one leg). Per
+    # group the rows pack to Jg (ng, ns, K) over only the ns support dims,
+    # so the grad / Hessian / line-search contractions keep the SPARSE
+    # flop count (sum_g ns_g^2 * ng_g instead of dense nv^2 * nrow) while
+    # staying O(groups * ns^2) traced array ops — both the round-1 trace
+    # blowup (O(rows*support^2) scalar unroll) and the dense-packed flop
+    # blowup are avoided. Reference semantics: engine_solver Newton
+    # (physics/constraint.py mirrors it in jnp).
     M = jnp.stack([jnp.stack(r) for r in mrows])      # (nv, nv, K)
     rhs_p = jnp.stack(rhs)                            # (nv, K)
     if rows:
       zero = like * 0.0
-      J = jnp.stack([jnp.stack([jr if jr is not None else zero
-                                for jr in jrow]) for jrow, _, _ in rows])
-      aref_p = jnp.stack([aref + zero for _, aref, _ in rows])
-      dcoef_p = jnp.stack([dcoef + zero for _, _, dcoef in rows])
+      groups = {}
+      for jrow, aref, dcoef in rows:
+        sup = tuple(i for i in range(nv) if jrow[i] is not None)
+        groups.setdefault(sup, []).append((jrow, aref, dcoef))
+      packed = []
+      for sup, grows in groups.items():
+        jg = jnp.stack([jnp.stack([jrow[i] + zero for i in sup])
+                        for jrow, _, _ in grows])     # (ng, ns, K)
+        arefg = jnp.stack([aref + zero for _, aref, _ in grows])
+        dcoefg = jnp.stack([dcoef + zero for _, _, dcoef in grows])
+        packed.append((sup, jg, arefg, dcoefg))
+
+      def group_jar(a, sup, jg, arefg):
+        ag = jnp.stack([a[i] for i in sup])           # (ns, K)
+        return jnp.sum(jg * ag[None, :, :], axis=1) - arefg
+
       # masked Newton on qacc with exact 1-D line search
       # (physics/constraint.solve schedule: opt.iterations Newton x
       # opt.ls_iterations line-search iters; overridable per-kernel)
@@ -624,33 +652,64 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       a = a0
       for _ in range(n_newton):
         ma = jnp.sum(M * (a - a0)[None, :, :], axis=1)       # (nv, K)
-        jar = jnp.sum(J * a[None, :, :], axis=1) - aref_p    # (nrow, K)
-        act = dcoef_p * (jar < 0)
-        grad = jnp.sum(J * (act * jar)[:, None, :], axis=0)  # (nv, K)
-        # H = M + J^T diag(act) J, assembled row-block at a time
-        hjj = jnp.stack(
-            [jnp.sum((act * J[:, i, :])[:, None, :] * J, axis=0)
-             for i in range(nv)])                            # (nv, nv, K)
-        pstep = -lm.chol_solve_packed(M + hjj, ma + grad)
+        grad_l = [None] * nv
+        hupper = [[None] * nv for _ in range(nv)]     # global i <= j
+        jars = []
+        for sup, jg, arefg, dcoefg in packed:
+          jar_g = group_jar(a, sup, jg, arefg)        # (ng, K)
+          act_g = dcoefg * (jar_g < 0)
+          jars.append(jar_g)
+          gpart = jnp.sum(jg * (act_g * jar_g)[:, None, :], axis=0)
+          ns = len(sup)
+          for il, i in enumerate(sup):
+            gi = gpart[il]
+            grad_l[i] = gi if grad_l[i] is None else grad_l[i] + gi
+            for jl in range(il, ns):
+              jdof = sup[jl]
+              hij = jnp.sum(act_g * jg[:, il, :] * jg[:, jl, :], axis=0)
+              if hupper[i][jdof] is None:
+                hupper[i][jdof] = hij
+              else:
+                hupper[i][jdof] = hupper[i][jdof] + hij
+        grad = jnp.stack([g if g is not None else zero for g in grad_l])
+        hfull = jnp.stack([jnp.stack(
+            [mrows[i][j] + (hupper[i][j] if j >= i and
+                            hupper[i][j] is not None else
+                            (hupper[j][i] if j < i and
+                             hupper[j][i] is not None else 0.0))
+             for j in range(nv)]) for i in range(nv)])
+        pstep = -lm.chol_solve_packed(hfull, ma + grad)
         if n_ls > 0:
           # exact-ish line search along pstep (piecewise-quadratic phi)
-          jps = jnp.sum(J * pstep[None, :, :], axis=1)       # (nrow, K)
           mp = jnp.sum(M * pstep[None, :, :], axis=1)
           pmp = jnp.sum(pstep * mp, axis=0)                  # (K,)
           pma = jnp.sum(pstep * ma, axis=0)
+          jpss = []
+          for sup, jg, arefg, dcoefg in packed:
+            psg = jnp.stack([pstep[i] for i in sup])
+            jpss.append(jnp.sum(jg * psg[None, :, :], axis=1))
           tls = jnp.ones_like(like)
           for _ in range(n_ls):
-            jart = jar + tls[None, :] * jps
-            act2 = dcoef_p * (jart < 0)
-            dphi = pma + tls * pmp + jnp.sum(act2 * jart * jps, axis=0)
-            ddphi = pmp + jnp.sum(act2 * jps * jps, axis=0)
+            dphi = pma + tls * pmp
+            ddphi = pmp
+            for (sup, jg, arefg, dcoefg), jar_g, jps_g in zip(
+                packed, jars, jpss):
+              jart = jar_g + tls[None, :] * jps_g
+              act2 = dcoefg * (jart < 0)
+              dphi = dphi + jnp.sum(act2 * jart * jps_g, axis=0)
+              ddphi = ddphi + jnp.sum(act2 * jps_g * jps_g, axis=0)
             tls = tls - dphi / jnp.maximum(ddphi, 1e-12)
           a = a + tls[None, :] * pstep
         else:
           a = a + pstep
-      jar = jnp.sum(J * a[None, :, :], axis=1) - aref_p
-      act = dcoef_p * (jar < 0)
-      rhs_p = rhs_p - jnp.sum(J * (act * jar)[:, None, :], axis=0)
+      rhs_l = list(rhs)
+      for sup, jg, arefg, dcoefg in packed:
+        jar_g = group_jar(a, sup, jg, arefg)
+        act_g = dcoefg * (jar_g < 0)
+        fpart = jnp.sum(jg * (act_g * jar_g)[:, None, :], axis=0)
+        for il, i in enumerate(sup):
+          rhs_l[i] = rhs_l[i] - fpart[il]
+      rhs_p = jnp.stack(rhs_l)
 
     # ---- implicit-damping Euler (packed solve) ----
     # diagonal damping added in component form (pallas kernels cannot
@@ -687,51 +746,72 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
   nr = residual_dim if residual_fn is not None else 0
   naux_eff = max(naux, 1) if residual_fn is not None else 0
+  if not record_states:
+    assert residual_fn is not None, \
+        "record_states=False requires an in-kernel residual"
 
   def kernel(qpos_ref, qvel_ref, values_ref, *rest):
     if residual_fn is not None:
-      aux_ref, out_ref = rest
+      if record_states:
+        aux_ref, out_ref = rest
+        res_ref = final_ref = None
+      else:
+        aux_ref, res_ref, final_ref = rest
+        out_ref = None
       aux = [aux_ref[i, :] for i in range(naux)]
     else:
       (out_ref,) = rest
+      res_ref = final_ref = None
       aux = None
+
+    def write_step(t, qpos, qvel, res):
+      if record_states:
+        for i in range(nq):
+          out_ref[t, i, :] = qpos[i]
+        for i in range(nv):
+          out_ref[t, nq + i, :] = qvel[i]
+        for r in range(nr):
+          out_ref[t, nq + nv + r, :] = res[r]
+      else:
+        for r in range(nr):
+          res_ref[t, r, :] = res[r]
+
     qpos = [qpos_ref[i, :] for i in range(nq)]
     qvel = [qvel_ref[i, :] for i in range(nv)]
     if unroll:
       for t in range(horizon):
-        for i in range(nq):
-          out_ref[t, i, :] = qpos[i]
-        for i in range(nv):
-          out_ref[t, nq + i, :] = qvel[i]
         node = node_of_step[t]
         ctrl = [values_ref[node * nu + u, :] for u in range(nu)]
-        qpos, qvel, res = step_body(qpos, qvel, ctrl, t, aux)
-        for r in range(nr):
-          out_ref[t, nq + nv + r, :] = res[r]
+        new_qpos, new_qvel, res = step_body(qpos, qvel, ctrl, t, aux)
+        write_step(t, qpos, qvel, res)
+        qpos, qvel = new_qpos, new_qvel
     else:
       # horizon as an in-kernel loop: the program is ONE step body
       def body(t, carry):
         qpos, qvel = list(carry[0]), list(carry[1])
-        for i in range(nq):
-          out_ref[t, i, :] = qpos[i]
-        for i in range(nv):
-          out_ref[t, nq + i, :] = qvel[i]
         node = jnp.minimum((t * num_nodes) // max(horizon - 1, 1),
                            num_nodes - 1)
         ctrl = [values_ref[node * nu + u, :] for u in range(nu)]
-        qpos, qvel, res = step_body(qpos, qvel, ctrl, t, aux)
-        for r in range(nr):
-          out_ref[t, nq + nv + r, :] = res[r]
-        return (tuple(qpos), tuple(qvel))
+        new_qpos, new_qvel, res = step_body(qpos, qvel, ctrl, t, aux)
+        write_step(t, qpos, qvel, res)
+        return (tuple(new_qpos), tuple(new_qvel))
 
-      jax.lax.fori_loop(0, horizon, body, (tuple(qpos), tuple(qvel)))
+      qpos, qvel = jax.lax.fori_loop(
+          0, horizon, body, (tuple(qpos), tuple(qvel)))
+      qpos, qvel = list(qpos), list(qvel)
+    if not record_states:
+      for i in range(nq):
+        final_ref[i, :] = qpos[i]
+      for i in range(nv):
+        final_ref[nq + i, :] = qvel[i]
 
   # candidate-block grid: each grid step processes KB lanes so the
-  # recorded trajectory block stays within the ~16MB VMEM budget
-  # (~3MB for the output block leaves room for the step working set;
-  # wider outputs — e.g. with in-kernel residual rows — halve KB)
-  KB = 512
-  while KB > 128 and horizon * (nq + nv + residual_dim) * KB * 4 > 3_000_000:
+  # output block + step working set stay within the ~16MB VMEM budget.
+  # Without trajectory recording the output is just the residual rows, so
+  # KB reaches 1024 = a full (8, 128) f32 VPU tile per elementwise op.
+  out_rows = (nq + nv + residual_dim) if record_states else residual_dim
+  KB = 512 if record_states else 1024
+  while KB > 128 and horizon * max(out_rows, 1) * KB * 4 > 3_000_000:
     KB //= 2
 
   @jax.jit
@@ -746,11 +826,15 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         aux = jnp.zeros((naux_eff, k), qpos0.dtype)
       inputs.append(aux)
     nout = nq + nv + nr
+    if record_states:
+      out_shape = jax.ShapeDtypeStruct((horizon, nout, k), qpos0.dtype)
+    else:
+      out_shape = (jax.ShapeDtypeStruct((horizon, nr, k), qpos0.dtype),
+                   jax.ShapeDtypeStruct((nq + nv, k), qpos0.dtype))
     if k <= KB or k % KB != 0:
       return pl.pallas_call(
           kernel,
-          out_shape=jax.ShapeDtypeStruct((horizon, nout, k),
-                                         qpos0.dtype),
+          out_shape=out_shape,
           interpret=interpret,
       )(*inputs)
     grid = (k // KB,)
@@ -761,13 +845,17 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     ]
     if residual_fn is not None:
       in_specs.append(pl.BlockSpec((naux_eff, KB), lambda i: (0, i)))
+    if record_states:
+      out_specs = pl.BlockSpec((horizon, nout, KB), lambda i: (0, 0, i))
+    else:
+      out_specs = (pl.BlockSpec((horizon, nr, KB), lambda i: (0, 0, i)),
+                   pl.BlockSpec((nq + nv, KB), lambda i: (0, i)))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((horizon, nout, KB),
-                               lambda i: (0, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((horizon, nout, k), qpos0.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
 

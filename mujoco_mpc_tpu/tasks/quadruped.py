@@ -138,6 +138,11 @@ class QuadrupedFlat(base.Task):
     self._head = names["site"].index("head")
     self._feet_geoms = [names["geom"].index(f"foot_{l}")
                        for l in ("fl", "hl", "fr", "hr")]
+    # planning-contact whitelist for the lane kernel: only the feet
+    # collide during candidate rollouts (same spirit as the reference
+    # tasks' simplified collision models) — hips/thigh/calf/trunk ground
+    # contact is rare in-plan and pruning it halves the contact work
+    self.plan_contact_geoms = frozenset(self._feet_geoms)
     home = self.home_qpos
     self._home_joints = jnp.asarray(home[7:], jnp.float32)
 
