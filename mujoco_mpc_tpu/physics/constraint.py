@@ -303,6 +303,31 @@ def _equality_rows(m: Model, d: Data):
                                       for x in diags]))
 
 
+def _tendon_limit_rows(m: Model, d: Data):
+  """Tendon-limit rows: 2 per limited tendon, J = ±ten_J (mj_tendon +
+  mjCNSTR_LIMIT_TENDON semantics)."""
+  dtype = d.qpos.dtype
+  ts = [t for t in range(m.ntendon) if m.tendon_limited[t]]
+  if not ts:
+    return None
+  rows_j, rows_pos, rows_ref, rows_imp, rows_diag = [], [], [], [], []
+  for t in ts:
+    for side in (0, 1):
+      if side == 0:
+        dist = d.ten_length[t] - m.tendon_range[t, 0]
+        ej = d.ten_J[t]
+      else:
+        dist = m.tendon_range[t, 1] - d.ten_length[t]
+        ej = -d.ten_J[t]
+      rows_j.append(ej)
+      rows_pos.append(dist - m.tendon_margin[t])
+      rows_ref.append(m.tendon_solref_lim[t])
+      rows_imp.append(m.tendon_solimp_lim[t])
+      rows_diag.append(m.tendon_invweight0[t])
+  return (jnp.stack(rows_j), jnp.stack(rows_pos), jnp.stack(rows_ref),
+          jnp.stack(rows_imp), jnp.stack(rows_diag))
+
+
 def _friction_rows(m: Model, d: Data):
   """Dof friction-loss rows: |force| <= frictionloss, Huber cost in the
   solver (mjCNSTR_FRICTION_DOF)."""
@@ -362,6 +387,17 @@ def make_constraint(m: Model, d: Data) -> Data:
     diags.append(ld)
     eqs.append(jnp.zeros(lp.shape, dtype))
     flosses.append(jnp.zeros(lp.shape, dtype))
+  tlim = _tendon_limit_rows(m, d)
+  if tlim is not None:
+    tj, tp, tr, ti, td = tlim
+    js.append(tj)
+    poss.append(tp)
+    refs.append(tr)
+    imps.append(ti)
+    gates.append(tp)
+    diags.append(td)
+    eqs.append(jnp.zeros(tp.shape, dtype))
+    flosses.append(jnp.zeros(tp.shape, dtype))
   if con is not None:
     cj, cpos, cr, ci, cg, cd = con
     js.append(cj)

@@ -23,6 +23,9 @@ from mujoco_mpc_tpu.physics import math as mm
 def fwd_position(m: Model, d: Data) -> Data:
   d = K.kinematics(m, d)
   d = K.com_pos(m, d)
+  if m.ntendon:
+    from mujoco_mpc_tpu.physics import tendon as T
+    d = T.tendon(m, d)
   d = S.crb(m, d)
   d = S.factor_m(m, d)
   d = C.make_constraint(m, d)

@@ -71,6 +71,14 @@ TRN_TENDON = 3
 TRN_SITE = 4
 TRN_BODY = 5
 
+# Tendon wrap-object types (mjtWrap)
+WRAP_NONE = 0
+WRAP_JOINT = 1
+WRAP_PULLEY = 2
+WRAP_SITE = 3
+WRAP_SPHERE = 4
+WRAP_CYLINDER = 5
+
 # Condim-invariant max friction-cone dims handled (pyramidal)
 _MJ_MINVAL = 1e-15
 
@@ -169,6 +177,14 @@ class Model:
   # FK level-batching: tuple of (signature, body_id_array) groups ordered by
   # tree depth; signature = tuple of joint types of each body in the group
   fk_groups: Any = struct.field(pytree_node=False, default=None)
+  # tendons (static metadata; wrap lists unroll at trace time)
+  ntendon: int = struct.field(pytree_node=False, default=0)
+  tendon_adr: np.ndarray = struct.field(pytree_node=False, default=None)
+  tendon_num: np.ndarray = struct.field(pytree_node=False, default=None)
+  tendon_limited: np.ndarray = struct.field(pytree_node=False, default=None)
+  wrap_type: np.ndarray = struct.field(pytree_node=False, default=None)
+  wrap_objid: np.ndarray = struct.field(pytree_node=False, default=None)
+  wrap_prm_np: np.ndarray = struct.field(pytree_node=False, default=None)
   # equality constraints (static metadata)
   neq: int = struct.field(pytree_node=False, default=0)
   eq_type: np.ndarray = struct.field(pytree_node=False, default=None)
@@ -222,9 +238,18 @@ class Model:
   actuator_actrange: jax.Array = None
   actuator_gear: jax.Array = None
   actuator_acc0: jax.Array = None
+  actuator_lengthrange: jax.Array = None
   eq_data: jax.Array = None
   eq_solref: jax.Array = None
   eq_solimp: jax.Array = None
+  tendon_range: jax.Array = None
+  tendon_stiffness: jax.Array = None
+  tendon_damping: jax.Array = None
+  tendon_lengthspring: jax.Array = None
+  tendon_margin: jax.Array = None
+  tendon_solref_lim: jax.Array = None
+  tendon_solimp_lim: jax.Array = None
+  tendon_invweight0: jax.Array = None
 
 
 @struct.dataclass
@@ -276,6 +301,10 @@ class Data:
   cdof: jax.Array = None     # (nv, 6)
   cvel: jax.Array = None     # (nbody, 6)
   cdof_dot: jax.Array = None  # (nv, 6)
+
+  # tendons
+  ten_length: jax.Array = None   # (ntendon,)
+  ten_J: jax.Array = None        # (ntendon, nv)
 
   # mass matrix & forces
   qM: jax.Array = None       # (nv, nv) dense
@@ -541,6 +570,22 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       eq_data=dev(mjm.eq_data),
       eq_solref=dev(mjm.eq_solref),
       eq_solimp=dev(mjm.eq_solimp),
+      actuator_lengthrange=dev(mjm.actuator_lengthrange),
+      ntendon=int(mjm.ntendon),
+      tendon_adr=_np(mjm.tendon_adr),
+      tendon_num=_np(mjm.tendon_num),
+      tendon_limited=_np(mjm.tendon_limited),
+      wrap_type=_np(mjm.wrap_type),
+      wrap_objid=_np(mjm.wrap_objid),
+      wrap_prm_np=_np(mjm.wrap_prm),
+      tendon_range=dev(mjm.tendon_range),
+      tendon_stiffness=dev(mjm.tendon_stiffness),
+      tendon_damping=dev(mjm.tendon_damping),
+      tendon_lengthspring=dev(mjm.tendon_lengthspring),
+      tendon_margin=dev(mjm.tendon_margin),
+      tendon_solref_lim=dev(mjm.tendon_solref_lim),
+      tendon_solimp_lim=dev(mjm.tendon_solimp_lim),
+      tendon_invweight0=dev(mjm.tendon_invweight0),
   )
   # precompute static collision pair list (host-side)
   pairs = _collision.make_collision_pairs(mjm)

@@ -97,6 +97,11 @@ _SENS_VELOCIMETER = 2
 _SENS_GYRO = 3
 _SENS_JOINTPOS = 9
 _SENS_JOINTVEL = 10
+_SENS_TENDONPOS = 11
+_SENS_TENDONVEL = 12
+_SENS_ACTUATORPOS = 13
+_SENS_ACTUATORVEL = 14
+_SENS_ACTUATORFRC = 15
 _SENS_FRAMEPOS = 22
 _SENS_FRAMEQUAT = 23
 _SENS_FRAMEXAXIS = 24
@@ -157,6 +162,16 @@ def make_sensor_fn(mjm, skip_user: bool = True):
         out.append(d.qpos[int(m.jnt_qposadr[objid])][None])
       elif stype == _SENS_JOINTVEL:
         out.append(d.qvel[int(m.jnt_dofadr[objid])][None])
+      elif stype == _SENS_TENDONPOS:
+        out.append(d.ten_length[objid][None])
+      elif stype == _SENS_TENDONVEL:
+        out.append((d.ten_J[objid] @ d.qvel)[None])
+      elif stype == _SENS_ACTUATORPOS:
+        out.append(d.actuator_length[objid][None])
+      elif stype == _SENS_ACTUATORVEL:
+        out.append(d.actuator_velocity[objid][None])
+      elif stype == _SENS_ACTUATORFRC:
+        out.append(d.actuator_force[objid][None])
       elif stype == _SENS_FRAMEPOS:
         p, _, _ = frame_pos_mat(m, d, objtype, objid)
         out.append(p)

@@ -15,12 +15,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from mujoco_mpc_tpu.physics import math as mm
-from mujoco_mpc_tpu.physics.model import (BALL, BIAS_AFFINE, BIAS_NONE,
-                                          DYN_FILTER, DYN_FILTEREXACT,
-                                          DYN_INTEGRATOR, DYN_NONE, FREE,
-                                          GAIN_AFFINE, GAIN_FIXED, HINGE,
-                                          SLIDE, TRN_JOINT, TRN_SITE, Data,
-                                          Model)
+from mujoco_mpc_tpu.physics.model import (BALL, BIAS_AFFINE, BIAS_MUSCLE,
+                                          BIAS_NONE, DYN_FILTER,
+                                          DYN_FILTEREXACT, DYN_INTEGRATOR,
+                                          DYN_MUSCLE, DYN_NONE, FREE,
+                                          GAIN_AFFINE, GAIN_FIXED,
+                                          GAIN_MUSCLE, HINGE,
+                                          SLIDE, TRN_JOINT, TRN_SITE,
+                                          TRN_TENDON, Data, Model)
 
 # mjDSBL_* flags we honor
 DSBL_GRAVITY = 1 << 6
@@ -205,6 +207,9 @@ def passive(m: Model, d: Data) -> Data:
   qfrc = _spring_force(m, d)
   qfrc = qfrc - m.dof_damping * d.qvel
   qfrc = qfrc + _fluid_force(m, d)
+  if m.ntendon:
+    from mujoco_mpc_tpu.physics import tendon as _tendon
+    qfrc = qfrc + _tendon.passive_force(m, d)
   return d.replace(qfrc_passive=qfrc)
 
 
@@ -251,6 +256,10 @@ def transmission(m: Model, d: Data) -> tuple[jax.Array, jax.Array]:
         moment = moment.at[u, dadr:dadr + 6].set(gear[:6])
       elif jtype == BALL:
         moment = moment.at[u, dadr:dadr + 3].set(gear[:3])
+    elif trntype == TRN_TENDON:
+      gear0 = gear[0]
+      lengths = lengths.at[u].set(d.ten_length[tid] * gear0)
+      moment = moment.at[u].set(d.ten_J[tid] * gear0)
     elif trntype == TRN_SITE:
       bid = int(m.site_bodyid[tid])
       rot = d.site_xmat[tid]  # world-from-site
@@ -263,6 +272,58 @@ def transmission(m: Model, d: Data) -> tuple[jax.Array, jax.Array]:
       moment = moment.at[u].set((d.cdof @ fb) * mask)
 
   return lengths, moment
+
+
+def _bump(length, a, mid, b):
+  """mju_muscleGain's FL bump: piecewise-quadratic, 1 at mid, 0 at a/b."""
+  eps = 1e-8
+  left = 0.5 * (a + mid)
+  right = 0.5 * (mid + b)
+  x_a = (length - a) / jnp.maximum(left - a, eps)
+  x_l = (mid - length) / jnp.maximum(mid - left, eps)
+  x_r = (length - mid) / jnp.maximum(right - mid, eps)
+  x_b = (b - length) / jnp.maximum(b - right, eps)
+  val = jnp.where(
+      length < left, 0.5 * x_a * x_a,
+      jnp.where(length < mid, 1.0 - 0.5 * x_l * x_l,
+                jnp.where(length < right, 1.0 - 0.5 * x_r * x_r,
+                          0.5 * x_b * x_b)))
+  return jnp.where((length <= a) | (length >= b), 0.0, val)
+
+
+def _muscle_gain_bias(m: Model, length: jax.Array, velocity: jax.Array):
+  """Vectorized mju_muscleGain / mju_muscleBias over all actuators.
+
+  gainprm = (range0, range1, force, scale, lmin, lmax, vmax, fpmax,
+  fvmax); normalized length/velocity from actuator_lengthrange and the
+  compiler's acc0 scaling when force < 0."""
+  eps = 1e-8
+  prm = m.actuator_gainprm
+  lr = m.actuator_lengthrange
+  r0, r1 = prm[:, 0], prm[:, 1]
+  force, scale = prm[:, 2], prm[:, 3]
+  lmin, lmax = prm[:, 4], prm[:, 5]
+  vmax, fpmax, fvmax = prm[:, 6], prm[:, 7], prm[:, 8]
+  len0 = (lr[:, 1] - lr[:, 0]) / jnp.maximum(r1 - r0, eps)
+  ln = r0 + (length - lr[:, 0]) / jnp.maximum(len0, eps)
+  vn = velocity / jnp.maximum(len0 * vmax, eps)
+  frc = jnp.where(force < 0, scale / jnp.maximum(m.actuator_acc0, eps),
+                  force)
+  fl = _bump(ln, lmin, jnp.ones_like(ln), lmax)
+  y = fvmax - 1.0
+  fv = jnp.where(
+      vn <= -1.0, 0.0,
+      jnp.where(vn <= 0.0, (vn + 1.0)**2,
+                jnp.where(vn <= y, fvmax - (y - vn)**2 / jnp.maximum(y, eps),
+                          fvmax)))
+  gain = -frc * fl * fv
+  b = 0.5 * (1.0 + lmax)
+  x1 = (ln - 1.0) / jnp.maximum(b - 1.0, eps)
+  x2 = (ln - b) / jnp.maximum(b - 1.0, eps)
+  fp = jnp.where(ln <= 1.0, 0.0,
+                 jnp.where(ln <= b, 0.5 * x1 * x1, 0.5 + x2))
+  bias = -frc * fpmax * fp
+  return gain, bias
 
 
 def actuation(m: Model, d: Data) -> Data:
@@ -303,6 +364,16 @@ def actuation(m: Model, d: Data) -> Data:
     elif dyntype in (DYN_FILTER, DYN_FILTEREXACT):
       tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
       act_dot = act_dot.at[aadr].set((ctrl[u] - d.act[aadr]) / tau)
+    elif dyntype == DYN_MUSCLE:
+      # mju_muscleDynamics: activation/deactivation time constants scaled
+      # by activation level (hard switch; dynprm[2] smoothing unused)
+      ctrlc = jnp.clip(ctrl[u], 0.0, 1.0)
+      actc = jnp.clip(d.act[aadr], 0.0, 1.0)
+      tau = jnp.where(ctrlc > actc,
+                      m.actuator_dynprm[u, 0] * (0.5 + 1.5 * actc),
+                      m.actuator_dynprm[u, 1] / (0.5 + 1.5 * actc))
+      act_dot = act_dot.at[aadr].set(
+          (ctrlc - actc) / jnp.maximum(tau, 1e-8))
 
   # gain / bias
   prm_g = m.actuator_gainprm
@@ -317,6 +388,10 @@ def actuation(m: Model, d: Data) -> Data:
       jnp.asarray(biastype == BIAS_NONE),
       jnp.zeros(nu, dtype),
       prm_b[:, 0] + prm_b[:, 1] * length + prm_b[:, 2] * velocity)
+  if np.any(gaintype == GAIN_MUSCLE) or np.any(biastype == BIAS_MUSCLE):
+    mgain, mbias = _muscle_gain_bias(m, length, velocity)
+    gain = jnp.where(jnp.asarray(gaintype == GAIN_MUSCLE), mgain, gain)
+    bias = jnp.where(jnp.asarray(biastype == BIAS_MUSCLE), mbias, bias)
   force = gain * input_arr + bias
 
   # clamp force

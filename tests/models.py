@@ -80,3 +80,66 @@ CAPSULE_FLOOR = """
   </worldbody>
 </mujoco>
 """
+
+# Fixed + spatial tendons with spring/damper/limits; tendon-driven motor.
+TENDON = """
+<mujoco model="tendon">
+  <option timestep="0.005" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body name="upper" pos="0 0 1">
+      <joint name="shoulder" type="hinge" axis="0 1 0" damping="0.05"/>
+      <geom name="upper_geom" type="capsule" fromto="0 0 0 0.3 0 0"
+            size="0.02" mass="0.4" contype="0" conaffinity="0"/>
+      <site name="s_mid" pos="0.15 0 0.03"/>
+      <body name="lower" pos="0.3 0 0">
+        <joint name="elbow" type="hinge" axis="0 1 0" damping="0.05"/>
+        <geom name="lower_geom" type="capsule" fromto="0 0 0 0.25 0 0"
+              size="0.015" mass="0.2" contype="0" conaffinity="0"/>
+        <site name="s_end" pos="0.2 0 0.02"/>
+      </body>
+    </body>
+    <site name="s_base" pos="0.05 0 1.06"/>
+  </worldbody>
+  <tendon>
+    <fixed name="coupler" stiffness="3.0" damping="0.2" springlength="0.1">
+      <joint joint="shoulder" coef="1.0"/>
+      <joint joint="elbow" coef="-0.5"/>
+    </fixed>
+    <spatial name="string" stiffness="8.0" damping="0.1"
+             range="0.0 0.55" limited="true">
+      <site site="s_base"/>
+      <site site="s_mid"/>
+      <site site="s_end"/>
+    </spatial>
+  </tendon>
+  <actuator>
+    <motor tendon="string" gear="2" ctrlrange="-1 1" ctrllimited="true"/>
+  </actuator>
+</mujoco>
+"""
+
+# Muscle actuator on a hinge pair via a spatial tendon.
+MUSCLE = """
+<mujoco model="muscle">
+  <option timestep="0.005" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body name="arm" pos="0 0 1">
+      <joint name="hinge" type="hinge" axis="0 1 0" range="-60 60"
+             damping="0.1"/>
+      <geom name="arm_geom" type="capsule" fromto="0 0 0 0.3 0 0"
+            size="0.02" mass="0.5" contype="0" conaffinity="0"/>
+      <site name="m_ins" pos="0.1 0 0.02"/>
+    </body>
+    <site name="m_org" pos="-0.05 0 1.08"/>
+  </worldbody>
+  <tendon>
+    <spatial name="flexor">
+      <site site="m_org"/>
+      <site site="m_ins"/>
+    </spatial>
+  </tendon>
+  <actuator>
+    <muscle name="flex" tendon="flexor" ctrlrange="0 1"/>
+  </actuator>
+</mujoco>
+"""

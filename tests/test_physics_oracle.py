@@ -261,3 +261,65 @@ def test_implicit_integrators_match_mujoco(xml, integrator):
     d = step(d)
   np.testing.assert_allclose(d.qpos, mjd.qpos, atol=5e-3)
   np.testing.assert_allclose(d.qvel, mjd.qvel, atol=2e-2)
+
+
+def test_tendons_match_mujoco():
+  """Tendon lengths/moments, spring/damper forces, limits, and tendon
+  transmission vs the oracle (mj_tendon / mj_passive / mj_transmission)."""
+  from mujoco_mpc_tpu.physics import forward as F
+  mjm = mujoco.MjModel.from_xml_string(test_models.TENDON)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+  rng = np.random.default_rng(11)
+
+  for trial in range(3):
+    _randomize(mjm, mjd, rng, vel_scale=0.5)
+    mjd.ctrl[:] = rng.uniform(-1, 1, mjm.nu)
+    mujoco.mj_forward(mjm, mjd)
+    d = M.make_data(m).replace(
+        qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel),
+        ctrl=jnp.asarray(mjd.ctrl))
+    d = F.forward(m, d)
+    np.testing.assert_allclose(d.ten_length, mjd.ten_length, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.ten_J),
+                               mjd.ten_J.reshape(mjm.ntendon, mjm.nv),
+                               atol=1e-5)
+    np.testing.assert_allclose(d.qfrc_passive, mjd.qfrc_passive, atol=1e-3)
+    np.testing.assert_allclose(d.actuator_length, mjd.actuator_length,
+                               atol=1e-5)
+    np.testing.assert_allclose(d.qfrc_actuator, mjd.qfrc_actuator,
+                               atol=1e-3)
+
+  # closed-loop with the tendon limit engaging
+  mjd2 = mujoco.MjData(mjm)
+  mjd2.ctrl[:] = 1.0
+  d = M.make_data(m).replace(ctrl=jnp.ones(mjm.nu))
+  step = jax.jit(lambda d: F.step(m, d))
+  for t in range(200):
+    mujoco.mj_step(mjm, mjd2)
+    d = step(d)
+  np.testing.assert_allclose(d.qpos, mjd2.qpos, atol=0.03)
+  np.testing.assert_allclose(d.qvel, mjd2.qvel, atol=0.1)
+
+
+def test_muscle_matches_mujoco():
+  """Muscle FLV gain/bias + activation dynamics vs the oracle
+  (mju_muscleGain/Bias/Dynamics through mj_step)."""
+  from mujoco_mpc_tpu.physics import forward as F
+  mjm = mujoco.MjModel.from_xml_string(test_models.MUSCLE)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+
+  mjd.ctrl[:] = 0.7
+  d = M.make_data(m).replace(ctrl=0.7 * jnp.ones(mjm.nu))
+  step = jax.jit(lambda d: F.step(m, d))
+  for t in range(150):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+    if t in (5, 50, 149):
+      np.testing.assert_allclose(d.act, mjd.act, atol=2e-3,
+                                 err_msg=f"act t={t}")
+  np.testing.assert_allclose(d.qpos, mjd.qpos, atol=5e-3)
+  np.testing.assert_allclose(d.qvel, mjd.qvel, atol=2e-2)
+  np.testing.assert_allclose(
+      np.asarray(d.actuator_force), mjd.actuator_force, atol=2e-2)
