@@ -32,6 +32,15 @@ try:
 except Exception:
   pass
 
+# BENCH_SCALING=1: run the scaling-efficiency harness on N virtual CPU
+# devices instead of the flagship TPU bench (must configure before the
+# backend initializes; the sitecustomize pre-imports jax, so env vars
+# alone are too late — see tests/conftest.py)
+if os.environ.get("BENCH_SCALING"):
+  os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                             + " --xla_force_host_platform_device_count=8")
+  jax.config.update("jax_platforms", "cpu")
+
 
 def measure_tpu_rollouts(task, num_trajectory, horizon, iters,
                          spline_points=3, exploration=0.04):
@@ -124,8 +133,60 @@ def measure_cpu_baseline(task, horizon, reps=3000, threads=CPU_THREADS):
   return threads * steps_per_s / max(horizon - 1, 1)
 
 
+def scaling_main():
+  """Scaling-efficiency mode (BENCH_SCALING=1): candidate-axis weak
+  scaling, rollouts/s at 1 vs N devices on the sharded sampling planner.
+
+  On real multi-chip hardware this measures the >=80%-to-2-hosts
+  BASELINE.md target; on a single host with N *virtual* CPU devices the
+  devices share cores, so the printed efficiency exercises the harness
+  and the sharded program, not real ICI scaling."""
+  n = len(jax.devices())
+  from mujoco_mpc_tpu.parallel import mesh as mesh_lib
+  from mujoco_mpc_tpu.planners import sampling
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Cartpole")
+  per_dev_k = int(os.environ.get("BENCH_SCALING_K", "64"))
+  horizon = 26
+  rates = {}
+  for ndev in (1, n):
+    config = sampling.SamplingConfig(
+        num_trajectory=per_dev_k * ndev, num_spline_points=4,
+        exploration=jnp.asarray([0.3, 0.0]), horizon=horizon)
+    residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
+    opt = jax.jit(sampling.make_optimize_fn(
+        task.model, residual_fn, task.cost_spec.cost, config,
+        mesh=mesh_lib.make_mesh(ndev) if ndev > 1 else None))
+    d0 = task.make_data()
+    policy = sampling.initial_policy(task.model, config)
+    key = jax.random.PRNGKey(0)
+    pol, _ = opt(key, d0, policy)
+    jax.block_until_ready(pol.values)
+    best = float("inf")
+    for _ in range(3):
+      t0 = time.perf_counter()
+      for _ in range(5):
+        key, sub = jax.random.split(key)
+        pol, _ = opt(sub, d0, pol)
+      jax.block_until_ready(pol.values)
+      best = min(best, (time.perf_counter() - t0) / 5)
+    rates[ndev] = per_dev_k * ndev / best
+  eff = rates[n] / (n * rates[1])
+  print(json.dumps({
+      "metric": f"scaling_efficiency_weak_{n}dev_k{per_dev_k}",
+      "value": round(eff, 3),
+      "unit": "fraction",
+      "vs_baseline": round(eff / 0.8, 3),
+  }))
+
+
 def main():
   from mujoco_mpc_tpu.tasks import registry
+
+  if os.environ.get("BENCH_SCALING"):
+    scaling_main()
+    return
 
   task = registry.get_task("Quadruped Flat")
   horizon = 36  # 0.35 s @ 0.01 s agent timestep
