@@ -603,16 +603,28 @@ def load_model(path_or_xml: str, dtype=jnp.float32) -> tuple[Model, Any]:
 
 
 def make_data(m: Model, dtype=jnp.float32) -> Data:
-  """Fresh Data at qpos0, zero velocity."""
+  """Fresh Data at qpos0, zero velocity.
+
+  Mocap bodies start at their model body pose (mj_resetData semantics:
+  d.mocap_pos/quat initialized from body_pos/body_quat of mocap bodies)."""
+  mocap_pos = np.zeros((max(m.nmocap, 1), 3))
+  mocap_quat = np.tile(np.array([1.0, 0, 0, 0]), (max(m.nmocap, 1), 1))
+  mocapid = np.asarray(m.body_mocapid)
+  body_pos = np.asarray(jax.device_get(m.body_pos))
+  body_quat = np.asarray(jax.device_get(m.body_quat))
+  for b in range(m.nbody):
+    mid = int(mocapid[b])
+    if mid >= 0:
+      mocap_pos[mid] = body_pos[b]
+      mocap_quat[mid] = body_quat[b]
   return Data(
       qpos=jnp.asarray(m.qpos0, dtype=dtype),
       qvel=jnp.zeros((m.nv,), dtype),
       act=jnp.zeros((m.na,), dtype),
       ctrl=jnp.zeros((m.nu,), dtype),
       time=jnp.zeros((), dtype),
-      mocap_pos=jnp.zeros((max(m.nmocap, 1), 3), dtype),
-      mocap_quat=jnp.tile(
-          jnp.array([1.0, 0, 0, 0], dtype), (max(m.nmocap, 1), 1)),
+      mocap_pos=jnp.asarray(mocap_pos, dtype),
+      mocap_quat=jnp.asarray(mocap_quat, dtype),
       userdata=jnp.zeros((max(m.nuserdata, 1),), dtype),
       qfrc_applied=jnp.zeros((m.nv,), dtype),
       xfrc_applied=jnp.zeros((m.nbody, 6), dtype),

@@ -21,6 +21,20 @@ from mujoco_mpc_tpu.costs import spec as cost_spec_lib
 from mujoco_mpc_tpu.physics import model as model_lib
 
 
+def _text_items(mjm) -> dict:
+  """name -> data for <custom><text> entries (raw-buffer access; this
+  mujoco build has no MjModel.text() accessor)."""
+  out = {}
+  names = bytes(mjm.names)
+  for i in range(mjm.ntext):
+    nadr = int(mjm.name_textadr[i])
+    name = names[nadr:names.index(b"\x00", nadr)].decode()
+    adr, size = int(mjm.text_adr[i]), int(mjm.text_size[i])
+    data = bytes(mjm.text_data[adr:adr + size]).rstrip(b"\x00").decode()
+    out[name] = data
+  return out
+
+
 class Task:
   """Base class for tasks. Subclasses define XML + residual()."""
 
@@ -75,15 +89,9 @@ class Task:
 
   @property
   def modes(self) -> list:
-    try:
-      for i in range(self.mjm.ntext):
-        if self.mjm.text(i).name == "task_transition":
-          data = self.mjm.text(i).data
-          if isinstance(data, bytes):
-            data = data.decode()
-          return [s for s in data.replace("\x00", "|").split("|") if s]
-    except Exception:
-      pass
+    data = _text_items(self.mjm).get("task_transition")
+    if data:
+      return [s for s in data.replace("\x00", "|").split("|") if s]
     return ["default"]
 
   @property
@@ -96,12 +104,9 @@ class Task:
 
   def selection_options(self, name: str) -> list:
     """Options for residual_select_* parameters (from custom text)."""
-    for i in range(self.mjm.ntext):
-      if self.mjm.text(i).name == f"residual_list_{name}":
-        data = self.mjm.text(i).data
-        if isinstance(data, bytes):
-          data = data.decode()
-        return [s for s in data.replace("\x00", "|").split("|") if s]
+    data = _text_items(self.mjm).get(f"residual_list_{name}")
+    if data:
+      return [s for s in data.replace("\x00", "|").split("|") if s]
     return []
 
   def set_selection(self, name: str, index: int):
