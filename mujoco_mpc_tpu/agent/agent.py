@@ -108,7 +108,12 @@ class Agent:
         try:
           from mujoco_mpc_tpu.ops import sampling_lane, step_lane
           m = getattr(self.task, "plan_model", self.task.model)
-          if (step_lane.supports(m, ground_only=True)
+          # tasks with mode machines may support the lane residual in a
+          # subset of modes only (e.g. quadruped: Quadruped mode)
+          lane_modes = getattr(self.task, "lane_modes", None)
+          mode_ok = (lane_modes is None
+                     or int(self.task.mode) in lane_modes)
+          if (mode_ok and step_lane.supports(m, ground_only=True)
               and (hasattr(self.task, "lane_residual_spec")
                    or hasattr(self.task, "residual_from_rollout"))):
             return sampling_lane.LaneSamplingPlanner(self.task)
@@ -251,7 +256,15 @@ class Agent:
     return out
 
   def set_mode(self, mode: str):
+    was_lane = type(self.planner).__name__ == "LaneSamplingPlanner"
     self.task.set_mode_by_name(mode)
+    # lane-kernel planners score a single-mode residual (task.lane_modes);
+    # switching out of that mode set falls back to the pipeline planner
+    lane_modes = getattr(self.task, "lane_modes", None)
+    if was_lane and lane_modes is not None and \
+        int(self.task.mode) not in lane_modes:
+      self.planner = self._make_planner(self.planner_name)
+      self._planner_takes_state = self._action_takes_state(self.planner)
 
   def get_mode(self) -> str:
     return self.task.mode_name
