@@ -1,0 +1,204 @@
+"""Aloha bimanual Insert and Reorient tasks.
+
+Reference capability: mjpc/tasks/bimanual/{insert,reorient}
+(insert.cc:32-186, reorient.cc:32-140) — two-arm manipulation with
+18-dim "frame cross" costs (6 points at +-radius along each frame axis,
+matching position AND orientation simultaneously), two-handed grasp
+quality, z-dominant lift to a target post (Insert), and a floating
+target pose (Reorient). The reference scores grasp quality from contact
+normals (opposing finger normals); our functional residuals do not read
+contact state, so grasp is a finger-pad proximity surrogate (0 = pads on
+the object, 1 = far, matching the reference's 1 = not-in-contact
+convention).
+
+Rig: the same independently-authored two-arm pair as BimanualHandover
+(tasks/bimanual.py) with task-specific objects.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import math as mm
+from mujoco_mpc_tpu.physics.model import Data, Model
+from mujoco_mpc_tpu.tasks import base
+from mujoco_mpc_tpu.tasks import bimanual as B
+
+
+def _cross18(pos, mat, radius):
+  """6 points at +-radius along a frame's axes (insert.cc kRadius)."""
+  pts = []
+  for dim in range(3):
+    axis = mat[:, dim]
+    for sign in (-1.0, 1.0):
+      pts.append(pos + sign * radius * axis)
+  return jnp.concatenate(pts)
+
+
+_OBJ_HANDOVER = (
+    '<body name="object" pos="-0.15 0 0.03">\n'
+    '      <freejoint/>\n'
+    '      <geom name="obj_geom" type="box" size="0.02 0.02 0.03" '
+    'mass="0.08"\n            friction="1.5 0.02 0.002"/>\n'
+    '    </body>\n'
+    '    <body name="target" mocap="true" pos="0.25 0.15 0.03">\n'
+    '      <geom name="target_geom" type="box" size="0.02 0.02 0.03"\n'
+    '            contype="0" conaffinity="0"/>\n'
+    '    </body>')
+
+_OBJ_INSERT = (
+    '<body name="connector_female" pos="-0.15 0.1 0.025">\n'
+    '      <freejoint/>\n'
+    '      <geom name="connector_f_grip" type="box" '
+    'size="0.03 0.03 0.02" mass="0.08" friction="1.5 0.02 0.002"/>\n'
+    '      <site name="connector_f" pos="0 0 0.02"/>\n'
+    '    </body>\n'
+    '    <body name="connector_male" pos="0.15 -0.1 0.025">\n'
+    '      <freejoint/>\n'
+    '      <geom name="connector_m_grip" type="box" '
+    'size="0.015 0.015 0.035" mass="0.06" friction="1.5 0.02 0.002"/>\n'
+    '      <site name="connector_m" pos="0 0 -0.02"/>\n'
+    '    </body>\n'
+    '    <geom name="target" type="sphere" pos="0 0.25 0.1" size="0.015"'
+    ' contype="0" conaffinity="0"/>')
+
+_OBJ_REORIENT = (
+    '<body name="cross" pos="0 0 0.03">\n'
+    '      <freejoint/>\n'
+    '      <geom name="cross_a" type="box" size="0.05 0.015 0.015" '
+    'mass="0.05" friction="1.5 0.02 0.002"/>\n'
+    '      <geom name="cross_b" type="box" size="0.015 0.05 0.015" '
+    'mass="0.05" friction="1.5 0.02 0.002"/>\n'
+    '    </body>\n'
+    '    <body name="target_orient" mocap="true" pos="0 0 0.25">\n'
+    '      <geom name="t_a" type="box" size="0.05 0.015 0.015" '
+    'contype="0" conaffinity="0"/>\n'
+    '      <geom name="t_b" type="box" size="0.015 0.05 0.015" '
+    'contype="0" conaffinity="0"/>\n'
+    '    </body>')
+
+_SENS_HANDOVER = (
+    '<user name="Reach Left" dim="3" user="2 0.5 0 2.0 0.04"/>\n'
+    '    <user name="Reach Right" dim="3" user="2 0.5 0 2.0 0.04"/>\n'
+    '    <user name="Bring" dim="3" user="6 5.0 0 10.0 0.02"/>\n'
+    '    <user name="Control" dim="10" user="0 0.03 0 1.0"/>')
+
+_SENS_INSERT = (
+    '<user name="Reach L" dim="3" user="2 .3 0 1 .01"/>\n'
+    '    <user name="Reach R" dim="3" user="2 .3 0 1 .01"/>\n'
+    '    <user name="Grasp L" dim="1" user="-1 .4 0 1"/>\n'
+    '    <user name="Grasp R" dim="1" user="-1 .4 0 1"/>\n'
+    '    <user name="Lift" dim="6" user="6 0.7 0 1 0.05"/>\n'
+    '    <user name="Insert" dim="18" user="2 0.4 0 1 0.01"/>')
+
+_SENS_REORIENT = (
+    '<user name="Reach L" dim="3" user="1 .1 0 .5 .05 4"/>\n'
+    '    <user name="Reach R" dim="3" user="1 .1 0 .5 .05 4"/>\n'
+    '    <user name="Grasp L" dim="1" user="-1 .05 0 .5"/>\n'
+    '    <user name="Grasp R" dim="1" user="-1 .05 0 .5"/>\n'
+    '    <user name="Bring" dim="18" user="2 1 0 5 0.01"/>')
+
+_KEY_HANDOVER = ('qpos="0 0.5 0.8 0.02 0.02 0 0.5 0.8 0.02 0.02\n'
+                 '                           -0.15 0 0.03 1 0 0 0"')
+_KEY_INSERT = ('qpos="0 0.5 0.8 0.02 0.02 0 0.5 0.8 0.02 0.02\n'
+               '                           -0.15 0.1 0.025 1 0 0 0\n'
+               '                           0.15 -0.1 0.025 1 0 0 0"')
+_KEY_REORIENT = ('qpos="0 0.5 0.8 0.02 0.02 0 0.5 0.8 0.02 0.02\n'
+                 '                           0 0 0.03 1 0 0 0"')
+
+
+def _variant_xml(objects, sensors, key):
+  xml = B._XML
+  assert _OBJ_HANDOVER in xml and _SENS_HANDOVER in xml, \
+      "bimanual rig XML changed; update aloha.py substitution anchors"
+  xml = xml.replace(_OBJ_HANDOVER, objects)
+  xml = xml.replace(_SENS_HANDOVER, sensors)
+  xml = xml.replace(_KEY_HANDOVER, key)
+  return xml
+
+
+class _PadGrasp:
+  """Finger-pad proximity grasp surrogate shared by Insert/Reorient."""
+
+  def _grasp(self, d, side, obj_body):
+    obj = d.xipos[obj_body]
+    dl = jnp.linalg.norm(d.xipos[self._fl[side]] - obj)
+    dr = jnp.linalg.norm(d.xipos[self._fr[side]] - obj)
+    return jnp.clip((dl + dr - 0.06) / 0.2, 0.0, 1.0)
+
+  def _find_pads(self):
+    names = self.model.names
+    self._fl = {s: names["body"].index(f"fl_{s}")
+                for s in ("left", "right")}
+    self._fr = {s: names["body"].index(f"fr_{s}")
+                for s in ("left", "right")}
+    self._hand_l = names["site"].index("hand_left")
+    self._hand_r = names["site"].index("hand_right")
+
+
+class BimanualInsert(_PadGrasp, base.Task):
+  """Grasp both connectors, lift them to the target, mate the frames
+  (reference "Bimanual Insert")."""
+
+  name = "Bimanual Insert"
+
+  def __init__(self, **kw):
+    super().__init__(**kw)
+    names = self.model.names
+    self._find_pads()
+    self._site_f = names["site"].index("connector_f")
+    self._site_m = names["site"].index("connector_m")
+    self._body_f = names["body"].index("connector_female")
+    self._body_m = names["body"].index("connector_male")
+    self._target = names["geom"].index("target")
+
+  def xml(self) -> str:
+    return _variant_xml(_OBJ_INSERT, _SENS_INSERT, _KEY_INSERT)
+
+  def residual(self, m: Model, d: Data, params: jax.Array) -> jax.Array:
+    f_pos = d.site_xpos[self._site_f]
+    m_pos = d.site_xpos[self._site_m]
+    reach_l = d.site_xpos[self._hand_l] - f_pos
+    reach_r = d.site_xpos[self._hand_r] - m_pos
+    grasp_l = self._grasp(d, "left", self._body_f)
+    grasp_r = self._grasp(d, "right", self._body_m)
+    target = d.geom_xpos[self._target]
+    # z-dominant lift: x, y scaled by 0.1 (insert.cc:135-147)
+    scale = jnp.asarray([0.1, 0.1, 1.0], d.qpos.dtype)
+    lift_m = (m_pos - target) * scale
+    lift_f = (f_pos - target) * scale
+    insert = (_cross18(m_pos, d.site_xmat[self._site_m], 0.08) -
+              _cross18(f_pos, d.site_xmat[self._site_f], 0.08))
+    return jnp.concatenate([
+        reach_l, reach_r, grasp_l[None], grasp_r[None], lift_m, lift_f,
+        insert])
+
+
+class BimanualReorient(_PadGrasp, base.Task):
+  """Reorient the cross-shaped object to the floating target pose
+  (reference "Bimanual Reorient")."""
+
+  name = "Bimanual Reorient"
+
+  def __init__(self, **kw):
+    super().__init__(**kw)
+    self._find_pads()
+    self._object = self.model.names["body"].index("cross")
+
+  def xml(self) -> str:
+    return _variant_xml(_OBJ_REORIENT, _SENS_REORIENT, _KEY_REORIENT)
+
+  def residual(self, m: Model, d: Data, params: jax.Array) -> jax.Array:
+    obj_pos = d.xipos[self._object]
+    obj_mat = d.xmat[self._object]
+    reach_l = d.site_xpos[self._hand_l] - obj_pos
+    reach_r = d.site_xpos[self._hand_r] - obj_pos
+    grasp_l = self._grasp(d, "left", self._object)
+    grasp_r = self._grasp(d, "right", self._object)
+    t_pos = d.mocap_pos[0]
+    t_mat = mm.quat_to_mat(mm.normalize_quat(d.mocap_quat[0]))
+    bring = (_cross18(t_pos, t_mat, 0.05) -
+             _cross18(obj_pos, obj_mat, 0.05))
+    return jnp.concatenate([
+        reach_l, reach_r, grasp_l[None], grasp_r[None], bring])

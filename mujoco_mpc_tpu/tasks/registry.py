@@ -50,6 +50,12 @@ def _ensure_loaded():
       ("fingers", ["Fingers"]),
       ("manipulation", ["Manipulation"]),
       ("bimanual", ["BimanualHandover"]),
+      ("aloha", ["BimanualInsert", "BimanualReorient"]),
+      ("panda", ["Panda"]),
+      ("op3", ["OP3"]),
+      ("interact", ["HumanoidInteract"]),
+      ("allegro", ["Allegro"]),
+      ("rubik", ["Rubik"]),
   ]:
     try:
       mod = __import__(f"mujoco_mpc_tpu.tasks.{modname}",

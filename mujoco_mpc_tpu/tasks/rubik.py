@@ -1,0 +1,254 @@
+"""Rubik cube solving task: scramble faces, then solve them back.
+
+Reference capability: mjpc/tasks/rubik (solve.cc:25-248) — a dexterous
+hand holds a Rubik's cube whose faces are articulated joints; the task
+machinery is a goal-stack mode machine: Scramble applies N random
+(face, +-pi/2) turns while caching the face-angle state before each turn
+(goal_cache_, solve.cc:143-204), then Solve walks the cache backwards —
+each time the face angles reach the current goal within 0.085, the goal
+index pops until the cube is solved (solve.cc:211-229). Dropping the
+cube aborts to Wait (kResetHeight, solve.cc:232-238). Residuals
+(solve.cc:59-135): cube position to palm, cube orientation to goal,
+cube linear velocity, actuator force, face-angle errors vs the 6 goal
+parameters (zeroed outside Manual/Solve), hand posture vs home, hand
+joint velocity, and a remaining-goal cost (goal_index * 12).
+
+The reference cube is the 26-cubie MuJoCo Rubik model driven by a
+Shadow Hand; this is an independently-authored rig — a cube core with 6
+hinged face knobs (one per face, axis = face normal) above a 3-finger
+hand — exercising the same goal-stack machinery and residual structure.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mpc_tpu.physics import math as mm
+from mujoco_mpc_tpu.physics.model import Data, Model
+from mujoco_mpc_tpu.tasks import base
+
+MODE_WAIT, MODE_MANUAL, MODE_SCRAMBLE, MODE_SOLVE = range(4)
+RESET_HEIGHT = -0.1
+SOLVE_TOL = 0.085
+FACE_NAMES = ("red", "orange", "blue", "green", "white", "yellow")
+# param layout: 6 face goals, then Scramble count selection
+P_FACES = 0
+P_SCRAMBLE = 6
+S_MODE = 7
+S_GOAL_INDEX = 8
+NPARAM = 9
+
+_FACE_DEFS = [
+    # name, pos, hinge axis (face normal), knob euler
+    ("red", "0.034 0 0", "1 0 0"),
+    ("orange", "-0.034 0 0", "-1 0 0"),
+    ("blue", "0 0.034 0", "0 1 0"),
+    ("green", "0 -0.034 0", "0 -1 0"),
+    ("white", "0 0 0.034", "0 0 1"),
+    ("yellow", "0 0 -0.034", "0 0 -1"),
+]
+
+
+def _finger(i, angle_deg):
+  a = math.radians(angle_deg)
+  x, y = 0.1 * math.cos(a), 0.1 * math.sin(a)
+  rot = math.degrees(math.atan2(-y, -x))
+  return f"""
+    <body name="fbase_{i}" pos="{x:.4f} {y:.4f} 0.032"
+          euler="0 0 {rot:.2f}">
+      <joint name="fj0_{i}" type="hinge" axis="0 0 1" range="-45 45"
+             damping="0.2" armature="0.005"/>
+      <geom name="fb_{i}" type="capsule" fromto="0 0 0 0.04 0 0"
+            size="0.012" mass="0.04"/>
+      <body name="fmid_{i}" pos="0.04 0 0">
+        <joint name="fj1_{i}" type="hinge" axis="0 1 0" range="-20 100"
+               damping="0.15" armature="0.005"/>
+        <geom name="fm_{i}" type="capsule" fromto="0 0 0 0.04 0 0"
+              size="0.010" mass="0.03"/>
+        <body name="ftip_{i}" pos="0.04 0 0">
+          <joint name="fj2_{i}" type="hinge" axis="0 1 0" range="-10 110"
+                 damping="0.1" armature="0.005"/>
+          <geom name="ft_{i}" type="capsule" fromto="0 0 0 0.035 0 0"
+                size="0.009" mass="0.02" friction="1.8 0.02 0.002"/>
+        </body>
+      </body>
+    </body>"""
+
+
+def _faces():
+  out = []
+  for name, pos, axis in _FACE_DEFS:
+    out.append(f"""
+      <body name="face_{name}" pos="{pos}">
+        <joint name="f_{name}" type="hinge" axis="{axis}" damping="0.02"
+               armature="0.001"/>
+        <geom name="knob_{name}" type="box" size="0.009 0.016 0.016"
+              euler="0 0 0" mass="0.008" friction="1.8 0.02 0.002"/>
+      </body>""")
+  return "".join(out)
+
+
+_ACT = "".join(
+    f'<position name="a{j}_{i}" joint="fj{j}_{i}" kp="3" '
+    f'ctrlrange="{lo} {hi}" ctrllimited="true" '
+    f'forcerange="-2 2" forcelimited="true"/>'
+    for i in range(3)
+    for j, lo, hi in ((0, -0.7, 0.7), (1, -0.3, 1.7), (2, -0.15, 1.9)))
+
+_XML = f"""
+<mujoco model="Rubik">
+  <option timestep="0.004"/>
+  <custom>
+    <text name="task_transition" data="Wait|Manual|Scramble|Solve"/>
+    <numeric name="agent_planner" data="0" />
+    <numeric name="agent_horizon" data="0.4" />
+    <numeric name="agent_timestep" data="0.01" />
+    <numeric name="sampling_spline_points" data="3" />
+    <numeric name="sampling_exploration" data="0.15" />
+    <numeric name="sampling_trajectories" data="60" />
+    <numeric name="max_contact_points" data="48" />
+    <numeric name="residual_red" data="0 -3.15 3.15"/>
+    <numeric name="residual_orange" data="0 -3.15 3.15"/>
+    <numeric name="residual_blue" data="0 -3.15 3.15"/>
+    <numeric name="residual_green" data="0 -3.15 3.15"/>
+    <numeric name="residual_white" data="0 -3.15 3.15"/>
+    <numeric name="residual_yellow" data="0 -3.15 3.15"/>
+    <numeric name="residual_select_Scramble" data="0"/>
+    <text name="residual_list_Scramble" data="1|2|3|4|5|6|7|8|9|10"/>
+  </custom>
+  <worldbody>
+    <geom name="palm" type="box" pos="0 0 0" size="0.1 0.1 0.015"
+          friction="0.8 0.01 0.001"/>
+    <site name="palm_site" pos="0 0 0.05"/>
+    {_finger(0, 90)}
+    {_finger(1, 210)}
+    {_finger(2, 330)}
+    <body name="cube" pos="0 0 0.065">
+      <freejoint/>
+      <geom name="core" type="box" size="0.025 0.025 0.025" mass="0.05"
+            friction="1.2 0.02 0.002"/>
+      {_faces()}
+    </body>
+    <body name="goal" mocap="true" pos="0.3 0 0.1">
+      <geom name="goal_geom" type="box" size="0.025 0.025 0.025"
+            contype="0" conaffinity="0"/>
+    </body>
+  </worldbody>
+  <actuator>
+    {_ACT}
+  </actuator>
+  <sensor>
+    <user name="Position" dim="3" user="2 20.0 0 50.0 0.02"/>
+    <user name="Orientation" dim="3" user="0 1.0 0 10.0"/>
+    <user name="Cube Vel." dim="3" user="0 1.0 0 5.0"/>
+    <user name="Actuation" dim="9" user="0 0.05 0 1.0"/>
+    <user name="Faces" dim="6" user="0 10.0 0 50.0"/>
+    <user name="Grasp" dim="9" user="0 0.05 0 1.0"/>
+    <user name="Joint Vel" dim="9" user="0 1e-3 0 0.1"/>
+    <user name="Remaining" dim="1" user="-1 1.0 0 1.0"/>
+  </sensor>
+  <keyframe>
+    <key name="home"
+         qpos="{' '.join(['0 0.45 0.45'] * 3)} 0 0 0.065 1 0 0 0 0 0 0 0 0 0"/>
+  </keyframe>
+</mujoco>
+"""
+
+
+class Rubik(base.Task):
+  """Scramble-then-solve face turning with a goal-stack mode machine."""
+
+  name = "Rubik"
+
+  def __init__(self, **kw):
+    super().__init__(**kw)
+    names = self.model.names
+    self._cube_body = names["body"].index("cube")
+    self._palm_site = names["site"].index("palm_site")
+    home = self.home_qpos
+    self._home_hand = jnp.asarray(home[:9], jnp.float32)
+    # qpos layout: hand 9, cube free 7, faces 6
+    self._cube_qadr, self._cube_dadr = 9, 9
+    self._face_qadr, self._face_dadr = 16, 15
+    state0 = np.zeros(NPARAM - 7, np.float32)
+    self.residual_params = jnp.concatenate(
+        [self.residual_params, jnp.asarray(state0)])
+    self._goal_cache = np.zeros((0, 6))
+    self._goal_index = 0
+    self._rng = np.random.default_rng(0)
+
+  def xml(self) -> str:
+    return _XML
+
+  def residual(self, m: Model, d: Data, params: jax.Array) -> jax.Array:
+    dtype = d.qpos.dtype
+    mode = params[S_MODE]
+    faces_active = (mode == MODE_MANUAL) | (mode == MODE_SOLVE)
+
+    cube_pos = d.xpos[self._cube_body]
+    cube_quat = d.xquat[self._cube_body]
+    palm = d.site_xpos[self._palm_site]
+    position = cube_pos - palm
+    goal_quat = mm.normalize_quat(d.mocap_quat[0])
+    orientation = mm.quat_sub(goal_quat, cube_quat)
+    linvel = d.qvel[self._cube_dadr:self._cube_dadr + 3]
+    actuation = d.actuator_force
+    faces = d.qpos[self._face_qadr:self._face_qadr + 6] - \
+        params[P_FACES:P_FACES + 6]
+    faces = jnp.where(faces_active, faces, jnp.zeros(6, dtype))
+    grasp = d.qpos[:9] - self._home_hand
+    joint_vel = d.qvel[:9]
+    # each remaining scramble move costs ~12 (reference goal_index_*12)
+    remaining = params[S_GOAL_INDEX] * 12.0
+    return jnp.concatenate([
+        position, orientation, linvel, actuation, faces, grasp,
+        joint_vel, remaining[None]])
+
+  def transition(self, d: Data) -> Data:
+    """Goal-stack mode machine (solve.cc:140-246)."""
+    p = np.asarray(jax.device_get(self.residual_params)).copy()
+    mode = int(self.mode)
+    qpos = np.asarray(jax.device_get(d.qpos))
+
+    if mode == MODE_SCRAMBLE:
+      num = int(p[P_SCRAMBLE]) + 1
+      # reset to home, then apply num random quarter-turns, caching the
+      # face state BEFORE each turn (the solve goals, in reverse)
+      home = self.home_qpos.copy()
+      angles = np.zeros(6)
+      cache = np.zeros((num, 6))
+      for i in range(num):
+        cache[i] = angles
+        face = int(self._rng.integers(0, 6))
+        direction = 1 if self._rng.integers(0, 2) else -1
+        angles[face] += direction * 0.5 * np.pi
+      self._goal_cache = cache
+      self._goal_index = num - 1
+      new_qpos = home.copy()
+      new_qpos[self._face_qadr:self._face_qadr + 6] = angles
+      d = d.replace(qpos=jnp.asarray(new_qpos, d.qpos.dtype),
+                    qvel=jnp.zeros_like(d.qvel))
+      mode = MODE_SOLVE
+    elif mode == MODE_SOLVE and self._goal_cache.shape[0]:
+      p[P_FACES:P_FACES + 6] = self._goal_cache[self._goal_index]
+      err = qpos[self._face_qadr:self._face_qadr + 6] - \
+          p[P_FACES:P_FACES + 6]
+      if np.linalg.norm(err) < SOLVE_TOL:
+        if self._goal_index == 0:
+          mode = MODE_WAIT
+        else:
+          self._goal_index -= 1
+
+    # drop check
+    if qpos[self._cube_qadr + 2] < RESET_HEIGHT:
+      mode = MODE_WAIT
+
+    p[S_MODE] = mode
+    p[S_GOAL_INDEX] = self._goal_index
+    self.mode = mode
+    self.residual_params = jnp.asarray(p, jnp.float32)
+    return d
