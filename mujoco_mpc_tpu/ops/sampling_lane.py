@@ -61,6 +61,17 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   if contact_geoms == "task":
     # planning-contact whitelist (e.g. feet + trunk) declared by the task
     contact_geoms = getattr(task, "plan_contact_geoms", None)
+  # in-kernel scoring: with a risk-neutral cost the kernel reduces the
+  # residual rows to UNWEIGHTED per-term norm sums over the horizon
+  # (weights applied outside as traced values), so the kernel output is
+  # (nterm, K) — small enough for full-VPU-tile folded candidate blocks.
+  # Risk-sensitive costs need the per-step transform and keep the
+  # residual-row output.
+  risk0 = abs(float(jax.device_get(task.cost_spec.risk))) < 1e-6
+  cost_terms = None
+  if spec is not None and risk0:
+    cost_terms = tuple(zip(task.cost_spec.norm_types,
+                           task.cost_spec.dims))
   if spec is not None:
     # record_states=False: the planner only needs residual rows + the
     # final state's finiteness, and the smaller output block lets the
@@ -70,7 +81,8 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
         contact_types=contact_types, solver_iters=solver_iters,
         solver_ls_iters=solver_ls_iters, residual_fn=spec["fn"],
         residual_dim=spec["dim"], naux=spec["naux"],
-        record_states=False, contact_geoms=contact_geoms)
+        record_states=False, contact_geoms=contact_geoms,
+        cost_terms=cost_terms)
   else:
     kernel = step_lane.build_rollout_kernel(
         m, horizon, p, interpret=interpret, unroll=unroll,
@@ -119,12 +131,25 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
     values_lane = candidates.reshape(k_total, p * nu).T  # (P*nu, K)
     qpos0 = jnp.tile(d0.qpos[:, None], (1, k_total))
     qvel0 = jnp.tile(d0.qvel[:, None], (1, k_total))
-    if spec is not None:
+    if spec is not None and cost_terms is not None:
+      aux_rows = jnp.concatenate([
+          spec["make_aux"](d0, residual_params).astype(dtype),
+          cost_spec.norm_params[:, :2].reshape(-1).astype(dtype)])
+      aux = jnp.tile(aux_rows[:, None], (1, k_total))
+      term_sums, final_state = kernel(qpos0, qvel0, values_lane, aux)
+      # mean over horizon of the weighted per-step cost == weighted
+      # per-term sums / horizon (risk-neutral; gated at build time)
+      returns = jnp.sum(
+          cost_spec.weights[:, None] * term_sums, axis=0) / horizon
+      states = final_state[None]
+    elif spec is not None:
       aux = jnp.tile(
           spec["make_aux"](d0, residual_params)[:, None].astype(dtype),
           (1, k_total))
       residuals, final_state = kernel(qpos0, qvel0, values_lane, aux)
       states = final_state[None]                    # (1, nq+nv, K)
+      costs = cost_spec.cost(jnp.moveaxis(residuals, 1, -1))  # (H, K)
+      returns = jnp.mean(costs, axis=0)
     else:
       states = kernel(qpos0, qvel0, values_lane)    # (H, nq+nv, K)
       times = d0.time + h * jnp.arange(horizon, dtype=dtype)
@@ -132,9 +157,8 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
       ctrls = jnp.moveaxis(ctrls, 0, -1)            # (H, nu, K)
       residuals = task.residual_from_rollout(states, ctrls, times,
                                              residual_params)
-    # (H, nr, K) -> costs (K,)
-    costs = cost_spec.cost(jnp.moveaxis(residuals, 1, -1))  # (H, K)
-    returns = jnp.mean(costs, axis=0)
+      costs = cost_spec.cost(jnp.moveaxis(residuals, 1, -1))  # (H, K)
+      returns = jnp.mean(costs, axis=0)
     returns = jnp.where(
         jnp.all(jnp.isfinite(states[-1]), axis=0), returns, 1e6)
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from mujoco_mpc_tpu.ops import lanemath as lm
 from mujoco_mpc_tpu.physics.model import (BIAS_NONE, FREE, GAIN_FIXED,
@@ -112,13 +113,52 @@ def _static(m: Model):
   )
 
 
+def lane_term_cost(rows, ntype, p, q):
+  """Unweighted norm value of a residual slice in lane layout.
+
+  rows: list of (S, 128)/(K,) component arrays; p, q: traced norm-param
+  arrays broadcastable to the rows. Mirrors costs/norms.py::norm_value
+  (reference mjpc/norm.cc) term formulas exactly so the in-kernel score
+  matches the XLA cost path bit-for-bit up to reassociation.
+  """
+  from mujoco_mpc_tpu.costs.norms import NormType as NT
+  eps = 1e-15
+  nt = NT(ntype)
+  if nt == NT.NULL:
+    return rows[0]
+  if nt == NT.QUADRATIC:
+    return 0.5 * sum(r * r for r in rows)
+  if nt == NT.L22:
+    c = jnp.maximum(sum(r * r for r in rows), eps)
+    a = jnp.power(c, q / 2) + jnp.power(p, q)
+    return jnp.power(a, 1.0 / q) - p
+  if nt == NT.L2:
+    return jnp.sqrt(sum(r * r for r in rows) + p * p) - p
+  if nt == NT.COSH:
+    return sum(p * p * (jnp.cosh(r / p) - 1.0) for r in rows)
+  if nt == NT.POWER_LOSS:
+    return sum(jnp.power(jnp.abs(r), p) for r in rows)
+  if nt == NT.SMOOTH_ABS:
+    return sum(jnp.sqrt(r * r + p * p) - p for r in rows)
+  if nt == NT.SMOOTH_ABS2:
+    return sum(jnp.power(jnp.power(jnp.abs(r), q) + jnp.power(p, q),
+                         1.0 / q) - p for r in rows)
+  if nt == NT.RECTIFY:
+    return sum(jnp.where(p > 0,
+                         p * jnp.log1p(jnp.exp(r / jnp.maximum(p, eps))),
+                         jnp.maximum(r, 0.0)) for r in rows)
+  raise ValueError(f"unknown norm {ntype}")
+
+
 def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                          interpret: bool = False, unroll: bool = True,
                          contact_types=None, solver_iters=None,
                          solver_ls_iters=None, residual_fn=None,
                          residual_dim=0, naux=0,
                          record_states: bool = True,
-                         contact_geoms=None) -> Callable:
+                         contact_geoms=None,
+                         cost_terms=None,
+                         profile_phase: str = None) -> Callable:
   """Returns fn(qpos0 (nq,K), qvel0 (nv,K), values (P*nu, K)) ->
   states (horizon, nq+nv, K) for a zero-order-hold spline with
   node_of_step[t] = floor(t * P / horizon) (the planner's uniform grid).
@@ -172,6 +212,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     used by residual parity tests where the full nv^2 CRB/RNE/Newton
     trace would dominate."""
     like = qpos[0]
+    skip_dyn = derived_only or profile_phase == "fk"
 
     def cv(v):
       return lm.const_vec3(v, like)
@@ -263,7 +304,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       hvec = lm.vscale(d, mass)
       return rows, hvec, mass
 
-    cinert = None if derived_only else [inertia_of(i) for i in range(nb)]
+    cinert = None if skip_dyn else [inertia_of(i) for i in range(nb)]
 
     # cdof per dof
     cdof = []
@@ -296,8 +337,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       return (torque, force)
 
     # ---- CRB mass matrix ----
-    crb = [] if derived_only else [cinert[i] for i in range(nb)]
-    for i in ([] if derived_only else range(nb - 1, 0, -1)):
+    crb = [] if skip_dyn else [cinert[i] for i in range(nb)]
+    for i in ([] if skip_dyn else range(nb - 1, 0, -1)):
       pid = int(m.body_parentid[i])
       if pid > 0:
         r0, h0, m0 = crb[pid]
@@ -307,7 +348,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
     anc = m.dof_ancestor_mask
     mrows = [[like * 0.0] * nv for _ in range(nv)]
-    for i in ([] if derived_only else range(nv)):
+    for i in ([] if skip_dyn else range(nv)):
       f = imul(crb[int(m.dof_bodyid[i])], cdof[i])
       for j in range(nv):
         if anc[i, j] or anc[j, i]:
@@ -356,7 +397,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     cacc = [(cv([0, 0, 0]),
              cv([-grav[0], -grav[1], -grav[2]]))] * 1 + \
         [None] * (nb - 1)
-    for i in ([] if derived_only else range(1, nb)):
+    for i in ([] if skip_dyn else range(1, nb)):
       pid = int(m.body_parentid[i])
       a = cacc[pid]
       da = int(m.body_dofadr[i])
@@ -367,7 +408,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       cacc[i] = a
 
     cfrc = [None] * nb
-    for i in ([] if derived_only else range(1, nb)):
+    for i in ([] if skip_dyn else range(1, nb)):
       iv = imul(cinert[i], cvel[i])
       ia = imul(cinert[i], cacc[i])
       w, v = cvel[i]
@@ -375,13 +416,13 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       fc = (lm.vadd(lm.vcross(w, iv[0]), lm.vcross(v, iv[1])),
             lm.vcross(w, iv[1]))
       cfrc[i] = (lm.vadd(ia[0], fc[0]), lm.vadd(ia[1], fc[1]))
-    for i in ([] if derived_only else range(nb - 1, 0, -1)):
+    for i in ([] if skip_dyn else range(nb - 1, 0, -1)):
       pid = int(m.body_parentid[i])
       if pid > 0:
         cfrc[pid] = (lm.vadd(cfrc[pid][0], cfrc[i][0]),
                      lm.vadd(cfrc[pid][1], cfrc[i][1]))
 
-    qfrc_bias = [like * 0.0] * nv if derived_only else \
+    qfrc_bias = [like * 0.0] * nv if skip_dyn else \
         [lm.vdot(cdof[i][0], cfrc[int(m.dof_bodyid[i])][0]) +
          lm.vdot(cdof[i][1], cfrc[int(m.dof_bodyid[i])][1])
          for i in range(nv)]
@@ -427,6 +468,33 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
     rhs = [qfrc[i] - qfrc_bias[i] for i in range(nv)]
 
+    def integrate_qpos(qpos, qvel_new):
+      """Euler position update (free-joint local quaternion integration,
+      mju_quatIntegrate semantics)."""
+      qpos_new = list(qpos)
+      for j in range(m.njnt):
+        qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+        if int(m.jnt_type[j]) == FREE:
+          for k in range(3):
+            qpos_new[qadr + k] = qpos_new[qadr + k] + h * qvel_new[dadr + k]
+          w = (qvel_new[dadr + 3], qvel_new[dadr + 4], qvel_new[dadr + 5])
+          angle = jnp.sqrt(w[0]**2 + w[1]**2 + w[2]**2)
+          safe = jnp.maximum(angle, 1e-12)
+          axis = (w[0] / safe, w[1] / safe, w[2] / safe)
+          half = 0.5 * angle * h
+          sh, ch = jnp.sin(half), jnp.cos(half)
+          dq = (ch, axis[0] * sh, axis[1] * sh, axis[2] * sh)
+          q0 = (qpos_new[qadr + 3], qpos_new[qadr + 4], qpos_new[qadr + 5],
+                qpos_new[qadr + 6])
+          qn = lm.qmul(q0, dq)
+          norm = jnp.sqrt(qn[0]**2 + qn[1]**2 + qn[2]**2 + qn[3]**2)
+          inv = 1.0 / jnp.maximum(norm, 1e-12)
+          for k in range(4):
+            qpos_new[qadr + 3 + k] = qn[k] * inv
+        else:
+          qpos_new[qadr] = qpos_new[qadr] + h * qvel_new[dadr]
+      return qpos_new
+
     # ---- in-kernel task residual (pre-step state, full derived ctx) ----
     res = None
     if residual_fn is not None:
@@ -438,6 +506,13 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       assert len(res) == residual_dim, (len(res), residual_dim)
     if derived_only:
       return None, None, res
+
+    # profiling cutoffs (perf bisection only; not a physics mode):
+    #   fk     — FK/derived only, qvel frozen
+    #   smooth — + CRB/RNE + one chol solve, skip constraints/implicit
+    if profile_phase == "fk":
+      qvel_new = list(qvel)
+      return integrate_qpos(qpos, qvel_new), qvel_new, res
 
     # ---- constraint rows: joint limits + ground contacts ----
     # generic one-sided quadratic penalty rows solved with masked Newton
@@ -627,6 +702,10 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     # (physics/constraint.py mirrors it in jnp).
     M = jnp.stack([jnp.stack(r) for r in mrows])      # (nv, nv, K)
     rhs_p = jnp.stack(rhs)                            # (nv, K)
+    if profile_phase == "smooth":
+      qacc_p = lm.chol_solve_packed(M, rhs_p)
+      qvel_new = [qvel[i] + h * qacc_p[i] for i in range(nv)]
+      return integrate_qpos(qpos, qvel_new), qvel_new, res
     if rows:
       zero = like * 0.0
       groups = {}
@@ -719,99 +798,118 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     m_e = jnp.stack([jnp.stack(r) for r in mrows])
     qacc_p = lm.chol_solve_packed(m_e, rhs_p)
     qvel_new = [qvel[i] + h * qacc_p[i] for i in range(nv)]
-    qpos_new = list(qpos)
-    for j in range(m.njnt):
-      qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-      if int(m.jnt_type[j]) == FREE:
-        for k in range(3):
-          qpos_new[qadr + k] = qpos_new[qadr + k] + h * qvel_new[dadr + k]
-        # local-frame quaternion integration (mju_quatIntegrate)
-        w = (qvel_new[dadr + 3], qvel_new[dadr + 4], qvel_new[dadr + 5])
-        angle = jnp.sqrt(w[0]**2 + w[1]**2 + w[2]**2)
-        safe = jnp.maximum(angle, 1e-12)
-        axis = (w[0] / safe, w[1] / safe, w[2] / safe)
-        half = 0.5 * angle * h
-        sh, ch = jnp.sin(half), jnp.cos(half)
-        dq = (ch, axis[0] * sh, axis[1] * sh, axis[2] * sh)
-        q0 = (qpos_new[qadr + 3], qpos_new[qadr + 4], qpos_new[qadr + 5],
-              qpos_new[qadr + 6])
-        qn = lm.qmul(q0, dq)
-        norm = jnp.sqrt(qn[0]**2 + qn[1]**2 + qn[2]**2 + qn[3]**2)
-        inv = 1.0 / jnp.maximum(norm, 1e-12)
-        for k in range(4):
-          qpos_new[qadr + 3 + k] = qn[k] * inv
-      else:
-        qpos_new[qadr] = qpos_new[qadr] + h * qvel_new[dadr]
-    return qpos_new, qvel_new, res
+    return integrate_qpos(qpos, qvel_new), qvel_new, res
 
   nr = residual_dim if residual_fn is not None else 0
-  naux_eff = max(naux, 1) if residual_fn is not None else 0
+  # cost_terms: tuple of (norm_type, dim) — in-kernel scoring mode: the
+  # residual rows are reduced to UNWEIGHTED per-term norm values each
+  # step and accumulated over the horizon, so the kernel outputs
+  # (nterm, K) term sums instead of (horizon, nr, K) residual rows.
+  # Weights/risk stay OUTSIDE the kernel as traced XLA values (live
+  # SetCostWeights updates never recompile); norm params ride 2*nterm
+  # extra aux rows appended after the task aux rows.
+  nterm = len(cost_terms) if cost_terms else 0
+  if cost_terms:
+    assert residual_fn is not None and not record_states
+    assert sum(d for _, d in cost_terms) == residual_dim
+  naux_kernel = naux + 2 * nterm
+  naux_eff = max(naux_kernel, 1) if residual_fn is not None else 0
   if not record_states:
     assert residual_fn is not None, \
         "record_states=False requires an in-kernel residual"
 
+  def term_costs(res, norm_p):
+    out = []
+    off = 0
+    for k_t, (ntype, dim) in enumerate(cost_terms):
+      p_, q_ = norm_p[2 * k_t], norm_p[2 * k_t + 1]
+      out.append(lane_term_cost(res[off:off + dim], ntype, p_, q_))
+      off += dim
+    return out
+
   def kernel(qpos_ref, qvel_ref, values_ref, *rest):
+    norm_p = None
     if residual_fn is not None:
       if record_states:
         aux_ref, out_ref = rest
-        res_ref = final_ref = None
+        res_ref = final_ref = sums_ref = None
+      elif cost_terms:
+        aux_ref, sums_ref, final_ref = rest
+        out_ref = res_ref = None
       else:
         aux_ref, res_ref, final_ref = rest
-        out_ref = None
-      aux = [aux_ref[i, :] for i in range(naux)]
+        out_ref = sums_ref = None
+      aux = [aux_ref[i] for i in range(naux)]
+      if cost_terms:
+        norm_p = [aux_ref[naux + i] for i in range(2 * nterm)]
     else:
       (out_ref,) = rest
-      res_ref = final_ref = None
+      res_ref = final_ref = sums_ref = None
       aux = None
 
     def write_step(t, qpos, qvel, res):
       if record_states:
         for i in range(nq):
-          out_ref[t, i, :] = qpos[i]
+          out_ref[t, i] = qpos[i]
         for i in range(nv):
-          out_ref[t, nq + i, :] = qvel[i]
+          out_ref[t, nq + i] = qvel[i]
         for r in range(nr):
-          out_ref[t, nq + nv + r, :] = res[r]
-      else:
+          out_ref[t, nq + nv + r] = res[r]
+      elif not cost_terms:
         for r in range(nr):
-          res_ref[t, r, :] = res[r]
+          res_ref[t, r] = res[r]
 
-    qpos = [qpos_ref[i, :] for i in range(nq)]
-    qvel = [qvel_ref[i, :] for i in range(nv)]
+    qpos = [qpos_ref[i] for i in range(nq)]
+    qvel = [qvel_ref[i] for i in range(nv)]
+    zero = qpos[0] * 0.0
+    sums = [zero] * nterm
     if unroll:
       for t in range(horizon):
         node = node_of_step[t]
-        ctrl = [values_ref[node * nu + u, :] for u in range(nu)]
+        ctrl = [values_ref[node * nu + u] for u in range(nu)]
         new_qpos, new_qvel, res = step_body(qpos, qvel, ctrl, t, aux)
-        write_step(t, qpos, qvel, res)
+        if cost_terms:
+          tc = term_costs(res, norm_p)
+          sums = [s_ + c_ for s_, c_ in zip(sums, tc)]
+        else:
+          write_step(t, qpos, qvel, res)
         qpos, qvel = new_qpos, new_qvel
     else:
       # horizon as an in-kernel loop: the program is ONE step body
       def body(t, carry):
-        qpos, qvel = list(carry[0]), list(carry[1])
+        qpos, qvel, sums = (list(carry[0]), list(carry[1]),
+                            list(carry[2]))
         node = jnp.minimum((t * num_nodes) // max(horizon - 1, 1),
                            num_nodes - 1)
-        ctrl = [values_ref[node * nu + u, :] for u in range(nu)]
+        ctrl = [values_ref[node * nu + u] for u in range(nu)]
         new_qpos, new_qvel, res = step_body(qpos, qvel, ctrl, t, aux)
-        write_step(t, qpos, qvel, res)
-        return (tuple(new_qpos), tuple(new_qvel))
+        if cost_terms:
+          tc = term_costs(res, norm_p)
+          sums = [s_ + c_ for s_, c_ in zip(sums, tc)]
+        else:
+          write_step(t, qpos, qvel, res)
+        return (tuple(new_qpos), tuple(new_qvel), tuple(sums))
 
-      qpos, qvel = jax.lax.fori_loop(
-          0, horizon, body, (tuple(qpos), tuple(qvel)))
-      qpos, qvel = list(qpos), list(qvel)
+      qpos, qvel, sums = jax.lax.fori_loop(
+          0, horizon, body, (tuple(qpos), tuple(qvel), tuple(sums)))
+      qpos, qvel, sums = list(qpos), list(qvel), list(sums)
+    if cost_terms:
+      for k_t in range(nterm):
+        sums_ref[k_t] = sums[k_t]
     if not record_states:
       for i in range(nq):
-        final_ref[i, :] = qpos[i]
+        final_ref[i] = qpos[i]
       for i in range(nv):
-        final_ref[nq + i, :] = qvel[i]
+        final_ref[nq + i] = qvel[i]
 
   # candidate-block grid: each grid step processes KB lanes so the
   # output block + step working set stay within the ~16MB VMEM budget.
-  # Without trajectory recording the output is just the residual rows, so
-  # KB reaches 1024 = a full (8, 128) f32 VPU tile per elementwise op.
+  # In cost-sum mode the output is just (nterm, K) + final state, so
+  # KB=1024 always fits and every component is a full (8, 128) tile.
   out_rows = (nq + nv + residual_dim) if record_states else residual_dim
+  out_t = 1 if cost_terms else horizon
   KB = 512 if record_states else 1024
-  while KB > 128 and horizon * max(out_rows, 1) * KB * 4 > 3_000_000:
+  while KB > 128 and out_t * max(out_rows, 1) * KB * 4 > 3_000_000:
     KB //= 2
 
   @jax.jit
@@ -826,38 +924,117 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         aux = jnp.zeros((naux_eff, k), qpos0.dtype)
       inputs.append(aux)
     nout = nq + nv + nr
+
+    # folded lane layout: the candidate axis becomes (K//128, 128) so
+    # every per-component array inside the kernel is a NATIVE (S, 128)
+    # VPU tile. A flat 1-D (K,) component lowers to a (1, K) vector
+    # layout that uses 1 of 8 sublanes -> 8x waste on every elementwise
+    # op (measured: 118 vs 1049 Gop/s, scripts/probe_layout.py).
+    # Mosaic grid constraint: a 3-D block's last-two dims must be
+    # divisible by (8, 128) or equal the array dims, so a folded GRID
+    # needs KB//128 % 8 == 0 (KB >= 1024); single-block any k%128.
+    folded = k % 128 == 0 and (
+        k <= KB or k % KB != 0 or (KB // 128) % 8 == 0)
+    if folded:
+      sub = k // 128
+      inputs = [x.reshape(x.shape[0], sub, 128) for x in inputs]
+
+    def shape3(rows, kk):
+      if folded:
+        return (rows, kk // 128, 128)
+      return (rows, kk)
+
+    def shape4(t_, rows, kk):
+      if folded:
+        return (t_, rows, kk // 128, 128)
+      return (t_, rows, kk)
+
     if record_states:
-      out_shape = jax.ShapeDtypeStruct((horizon, nout, k), qpos0.dtype)
+      out_shape = jax.ShapeDtypeStruct(shape4(horizon, nout, k),
+                                       qpos0.dtype)
+    elif cost_terms:
+      out_shape = (
+          jax.ShapeDtypeStruct(shape3(nterm, k), qpos0.dtype),
+          jax.ShapeDtypeStruct(shape3(nq + nv, k), qpos0.dtype))
     else:
-      out_shape = (jax.ShapeDtypeStruct((horizon, nr, k), qpos0.dtype),
-                   jax.ShapeDtypeStruct((nq + nv, k), qpos0.dtype))
+      out_shape = (
+          jax.ShapeDtypeStruct(shape4(horizon, nr, k), qpos0.dtype),
+          jax.ShapeDtypeStruct(shape3(nq + nv, k), qpos0.dtype))
+
+    def unfold(out):
+      if not folded:
+        return out
+      if record_states:
+        return out.reshape(horizon, nout, k)
+      if cost_terms:
+        return (out[0].reshape(nterm, k), out[1].reshape(nq + nv, k))
+      return (out[0].reshape(horizon, nr, k),
+              out[1].reshape(nq + nv, k))
+
+    # folded blocks keep 8x more live data per component (8 sublanes vs
+    # 1), so the kernel's scoped-VMEM stack outgrows the 16MB default on
+    # wide models; v5e/v5p have 128MB VMEM — raise the cap for this
+    # single-kernel program (no pipelining to starve)
+    compiler_params = None
+    if not interpret:
+      compiler_params = pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024)
     if k <= KB or k % KB != 0:
-      return pl.pallas_call(
+      return unfold(pl.pallas_call(
           kernel,
           out_shape=out_shape,
           interpret=interpret,
-      )(*inputs)
+          compiler_params=compiler_params,
+      )(*inputs))
     grid = (k // KB,)
-    in_specs = [
-        pl.BlockSpec((nq, KB), lambda i: (0, i)),
-        pl.BlockSpec((nv, KB), lambda i: (0, i)),
-        pl.BlockSpec((nvals, KB), lambda i: (0, i)),
-    ]
-    if residual_fn is not None:
-      in_specs.append(pl.BlockSpec((naux_eff, KB), lambda i: (0, i)))
-    if record_states:
-      out_specs = pl.BlockSpec((horizon, nout, KB), lambda i: (0, 0, i))
+    if folded:
+      sb = KB // 128
+      in_specs = [
+          pl.BlockSpec((nq, sb, 128), lambda i: (0, i, 0)),
+          pl.BlockSpec((nv, sb, 128), lambda i: (0, i, 0)),
+          pl.BlockSpec((nvals, sb, 128), lambda i: (0, i, 0)),
+      ]
+      if residual_fn is not None:
+        in_specs.append(pl.BlockSpec((naux_eff, sb, 128),
+                                     lambda i: (0, i, 0)))
+      if record_states:
+        out_specs = pl.BlockSpec((horizon, nout, sb, 128),
+                                 lambda i: (0, 0, i, 0))
+      elif cost_terms:
+        out_specs = (pl.BlockSpec((nterm, sb, 128),
+                                  lambda i: (0, i, 0)),
+                     pl.BlockSpec((nq + nv, sb, 128),
+                                  lambda i: (0, i, 0)))
+      else:
+        out_specs = (pl.BlockSpec((horizon, nr, sb, 128),
+                                  lambda i: (0, 0, i, 0)),
+                     pl.BlockSpec((nq + nv, sb, 128),
+                                  lambda i: (0, i, 0)))
     else:
-      out_specs = (pl.BlockSpec((horizon, nr, KB), lambda i: (0, 0, i)),
-                   pl.BlockSpec((nq + nv, KB), lambda i: (0, i)))
-    return pl.pallas_call(
+      in_specs = [
+          pl.BlockSpec((nq, KB), lambda i: (0, i)),
+          pl.BlockSpec((nv, KB), lambda i: (0, i)),
+          pl.BlockSpec((nvals, KB), lambda i: (0, i)),
+      ]
+      if residual_fn is not None:
+        in_specs.append(pl.BlockSpec((naux_eff, KB), lambda i: (0, i)))
+      if record_states:
+        out_specs = pl.BlockSpec((horizon, nout, KB), lambda i: (0, 0, i))
+      elif cost_terms:
+        out_specs = (pl.BlockSpec((nterm, KB), lambda i: (0, i)),
+                     pl.BlockSpec((nq + nv, KB), lambda i: (0, i)))
+      else:
+        out_specs = (pl.BlockSpec((horizon, nr, KB), lambda i: (0, 0, i)),
+                     pl.BlockSpec((nq + nv, KB), lambda i: (0, i)))
+    return unfold(pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*inputs)
+        compiler_params=compiler_params,
+    )(*inputs))
 
   def rollout(qpos0, qvel0, values, aux=None):
     return _rollout_jit(qpos0, qvel0, values, aux)

@@ -78,7 +78,13 @@ def main():
       ("kernel (task cfg)", dict(contact_types=(coll.SPHERE,))),
       ("kernel newton=2/ls=2", dict(contact_types=(coll.SPHERE,),
                                     solver_iters=2, solver_ls_iters=2)),
+      ("kernel newton=0", dict(contact_types=(coll.SPHERE,),
+                               solver_iters=0)),
       ("kernel no contacts", dict(contact_types=())),
+      ("phase smooth", dict(contact_types=(coll.SPHERE,),
+                            profile_phase="smooth")),
+      ("phase fk", dict(contact_types=(coll.SPHERE,),
+                        profile_phase="fk")),
   ]:
     t = best_of(make_kernel(**kw))
     print(f"{label:22s}{1e3*t:8.2f} ms  ({k/t:,.0f} rollouts/s)")
