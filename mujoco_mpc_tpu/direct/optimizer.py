@@ -8,13 +8,23 @@ measured sensors, and (b) inverse dynamics matches the applied force:
 accelerations come from finite differences of configurations; cost is
 Gauss-Newton with per-sensor / per-force weights (1/noise, time-scaled).
 
-TPU-native design: instead of assembling FD Jacobian blocks into a banded
-Hessian with a custom band Cholesky (direct.h:236-302), the full residual
-vector is a pure JAX function of the stacked configuration tangent; its
-Jacobian comes from one vmapped jacfwd, and the (T*nv)^2 Gauss-Newton
-system is a single dense Cholesky — a few-hundred-dim matrix that the MXU
-eats for breakfast. The banded structure can be exploited by a Pallas
-block-tridiagonal solver later if T grows.
+TPU-native design, two regimes:
+
+* dense (default for short windows): the full residual vector is a pure
+  JAX function of the stacked configuration tangent; its Jacobian comes
+  from one vmapped jacfwd and the (T*nv)^2 Gauss-Newton system is a
+  single dense Cholesky — a few-hundred-dim matrix the MXU eats for
+  breakfast.
+* banded (`banded=True`, auto at horizon >= 24): per-stage Jacobian
+  blocks wrt (q_{t-1}, q_t, q_{t+1}) from ONE vmapped jacfwd over a 3*nv
+  tangent (3*nv JVPs total instead of T*nv), assembled into
+  block-pentadiagonal band storage and solved by the 2nv-superblock
+  block-tridiagonal Cholesky in banded.py — the TPU equivalent of the
+  reference's nband = 3*nv band Cholesky (direct.h:299-302,
+  mju_cholFactorBand). Memory O(T*nv^2) instead of O((T*nv)^2), so
+  T = 64 reference-scale windows fit where the dense path cannot.
+  Parameter estimation keeps its dense border via a Schur complement
+  on the banded factorization (direct.h:291).
 
 Statuses mirror direct.h:36-45.
 """
@@ -74,6 +84,7 @@ class Direct:
                param_update: Optional[Callable] = None,
                nparam: int = 0,
                param_initial=None,
+               banded: Optional[bool] = None,
                dtype=jnp.float32):
     # accept a Task (has .model/.mjm) or a bare Model + explicit sensor_fn
     if hasattr(task_or_model, "model"):
@@ -111,7 +122,9 @@ class Direct:
     self.status = Status.UNSOLVED
     self.iterations = 0
 
-    self._solve = jax.jit(self._make_solve())
+    self.banded = (horizon >= 24) if banded is None else banded
+    self._solve = jax.jit(self._make_solve_banded() if self.banded
+                          else self._make_solve())
 
   # -- core ------------------------------------------------------------------
 
@@ -233,6 +246,173 @@ class Direct:
           Status.MAX_ITERATIONS_FAILURE, status)
       return (qs_from_tangent(q_init, dz), theta_of(theta0, dz), cost,
               cost0, it, status)
+
+    return solve
+
+  def _make_solve_banded(self):
+    """Gauss-Newton with per-stage Jacobian blocks and a block-banded
+    solve (see module docstring). The iterate is the configuration
+    sequence itself (manifold retraction per step) rather than a global
+    tangent from q_init."""
+    from mujoco_mpc_tpu.direct import banded as band_lib
+    m0 = self.m
+    nv = m0.nv
+    t_hor = self.horizon
+    st = self.settings
+    nparam = self.nparam
+
+    def stage_res(q3, theta, y_t, f_t, w_sensor, w_force):
+      """Residual of one interior stage given (q_{t-1}, q_t, q_{t+1})."""
+      m = self.param_update(m0, theta) if self.param_update else m0
+      h = m.opt.timestep
+      v1 = deriv.qpos_diff(m, q3[1], q3[0]) / h
+      v2 = deriv.qpos_diff(m, q3[2], q3[1]) / h
+      a_t = (v2 - v1) / h
+      d = self._template.replace(qpos=q3[1], qvel=v1)
+      dd = F.fwd_position(m, d)
+      dd = F.fwd_velocity(m, dd)
+      y_pred = self.sensor_fn(m, dd)
+      f_pred = dd.qM @ a_t + dd.qfrc_bias - dd.qfrc_passive
+      return jnp.concatenate([jnp.sqrt(w_sensor) * (y_pred - y_t),
+                              jnp.sqrt(w_force) * (f_pred - f_t)])
+
+    def stage_res_tangent(dz3, dth, q3, theta, y_t, f_t, ws, wf):
+      q3n = jax.vmap(lambda q, dq: deriv.qpos_add(m0, q, dq))(
+          q3, dz3.reshape(3, nv))
+      return stage_res(q3n, theta + dth, y_t, f_t, ws, wf)
+
+    def prior_res(dq, q_t, q_prior):
+      qn = deriv.qpos_add(m0, q_t, dq)
+      return jnp.sqrt(jnp.asarray(self.prior_weight, self.dtype)) * \
+          deriv.qpos_diff(m0, qn, q_prior)
+
+    def cost_of(qs, theta, sensor_meas, force_meas, w_sensor, w_force):
+      stacked = jnp.stack([qs[:-2], qs[1:-1], qs[2:]], axis=1)
+      rs = jax.vmap(lambda q3, y, f: stage_res(
+          q3, theta, y, f, w_sensor, w_force))(
+              stacked, sensor_meas[1:-1], force_meas[1:-1])
+      c = 0.5 * jnp.sum(rs * rs)
+      if self.prior_weight > 0.0:
+        dq = jax.vmap(lambda q, qp: deriv.qpos_diff(m0, q, qp))(
+            qs, self._prior_qpos)
+        c = c + 0.5 * self.prior_weight * jnp.sum(dq * dq)
+      return c
+
+    def solve(q_init, theta0, sensor_meas, force_meas, w_sensor, w_force):
+      def gn_step(carry):
+        qs, theta, cost, reg, it, status = carry
+        stacked = jnp.stack([qs[:-2], qs[1:-1], qs[2:]], axis=1)
+        zeros3 = jnp.zeros(3 * nv, self.dtype)
+        zth = jnp.zeros(nparam, self.dtype)
+
+        def per_stage(q3, y_t, f_t):
+          r = stage_res_tangent(zeros3, zth, q3, theta, y_t, f_t,
+                                w_sensor, w_force)
+          j3, jth = jax.jacfwd(stage_res_tangent, argnums=(0, 1))(
+              zeros3, zth, q3, theta, y_t, f_t, w_sensor, w_force)
+          return r, j3, jth
+
+        rs, j3s, jths = jax.vmap(per_stage)(
+            stacked, sensor_meas[1:-1], force_meas[1:-1])
+        a_b = j3s[:, :, :nv]            # (T-2, nr, nv) wrt q_{t-1}
+        b_b = j3s[:, :, nv:2 * nv]      # wrt q_t
+        c_b = j3s[:, :, 2 * nv:]        # wrt q_{t+1}
+
+        def acc(x, y):                  # (T-2, nr, nv) pair -> X^T Y
+          return jnp.einsum("tri,trj->tij", x, y)
+
+        d1 = jnp.zeros((t_hor, nv, nv), self.dtype)
+        d1 = d1.at[:t_hor - 2].add(acc(a_b, a_b))
+        d1 = d1.at[1:t_hor - 1].add(acc(b_b, b_b))
+        d1 = d1.at[2:].add(acc(c_b, c_b))
+        o1 = jnp.zeros((t_hor - 1, nv, nv), self.dtype)
+        o1 = o1.at[:t_hor - 2].add(acc(a_b, b_b))
+        o1 = o1.at[1:].add(acc(b_b, c_b))
+        o2 = acc(a_b, c_b)              # H[t, t+2], t = 0..T-3
+
+        gv = jnp.einsum("tri,tr->ti", a_b, rs)
+        g = jnp.zeros((t_hor, nv), self.dtype)
+        g = g.at[:t_hor - 2].add(gv)
+        g = g.at[1:t_hor - 1].add(jnp.einsum("tri,tr->ti", b_b, rs))
+        g = g.at[2:].add(jnp.einsum("tri,tr->ti", c_b, rs))
+
+        if self.prior_weight > 0.0:
+          zero_dq = jnp.zeros(nv, self.dtype)
+
+          def per_prior(q_t, q_p):
+            rp = prior_res(zero_dq, q_t, q_p)
+            jp = jax.jacfwd(prior_res)(zero_dq, q_t, q_p)
+            return rp, jp
+
+          rps, jps = jax.vmap(per_prior)(qs, self._prior_qpos)
+          d1 = d1 + jnp.einsum("tri,trj->tij", jps, jps)
+          g = g + jnp.einsum("tri,tr->ti", jps, rps)
+
+        d1 = d1 + reg * jnp.eye(nv, dtype=self.dtype)[None]
+
+        if nparam:
+          p_b = jnp.zeros((t_hor, nv, nparam), self.dtype)
+          p_b = p_b.at[:t_hor - 2].add(
+              jnp.einsum("tri,trp->tip", a_b, jths))
+          p_b = p_b.at[1:t_hor - 1].add(
+              jnp.einsum("tri,trp->tip", b_b, jths))
+          p_b = p_b.at[2:].add(jnp.einsum("tri,trp->tip", c_b, jths))
+          q_blk = jnp.einsum("trp,trq->pq", jths, jths) + \
+              reg * jnp.eye(nparam, dtype=self.dtype)
+          g_th = jnp.einsum("trp,tr->p", jths, rs)
+          dz, dth = band_lib.banded_gn_solve(d1, o1, o2, g, p_b, q_blk,
+                                             g_th)
+        else:
+          dz, dth = band_lib.banded_gn_solve(d1, o1, o2, g)
+
+        def retract(qs, theta, alpha):
+          qn = jax.vmap(lambda q, dq: deriv.qpos_add(m0, q, dq))(
+              qs, alpha * dz)
+          return qn, theta + alpha * dth if nparam else theta
+
+        def ls_body(k, val):
+          alpha, best_c, best_a = val
+          qn, thn = retract(qs, theta, alpha)
+          c_try = cost_of(qn, thn, sensor_meas, force_meas, w_sensor,
+                          w_force)
+          better = c_try < best_c
+          return (alpha * 0.5, jnp.where(better, c_try, best_c),
+                  jnp.where(better, alpha, best_a))
+
+        _, new_cost, alpha = jax.lax.fori_loop(
+            0, st.ls_iterations, ls_body,
+            (jnp.ones((), self.dtype), cost, jnp.zeros((), self.dtype)))
+        improved = new_cost < cost
+        qs_new, th_new = retract(qs, theta, alpha)
+        reg_new = jnp.where(improved, jnp.maximum(reg * 0.3, 1e-10),
+                            reg * 10.0)
+        gnorm = jnp.linalg.norm(g) / self.nvar
+        done_grad = gnorm < st.gradient_tolerance
+        done_cost = jnp.abs(new_cost - cost) < st.cost_tolerance
+        status_new = jnp.where(done_grad | done_cost,
+                               Status.SOLVED, Status.UNSOLVED)
+        return (jnp.where(improved, qs_new, qs),
+                th_new if nparam else theta,
+                jnp.where(improved, new_cost, cost), reg_new, it + 1,
+                status_new)
+
+      def cond(carry):
+        _, _, _, reg, it, status = carry
+        return (it < st.max_iterations) & (status == Status.UNSOLVED) & \
+            (reg < 1e8)
+
+      cost0 = cost_of(q_init, theta0, sensor_meas, force_meas, w_sensor,
+                      w_force)
+      init = (q_init, theta0, cost0,
+              jnp.asarray(st.regularization_initial, self.dtype),
+              jnp.zeros((), jnp.int32),
+              jnp.asarray(int(Status.UNSOLVED), jnp.int32))
+      qs, theta, cost, reg, it, status = jax.lax.while_loop(
+          cond, gn_step, init)
+      status = jnp.where(
+          (status == Status.UNSOLVED) & (it >= st.max_iterations),
+          Status.MAX_ITERATIONS_FAILURE, status)
+      return qs, theta, cost, cost0, it, status
 
     return solve
 
