@@ -9,7 +9,7 @@ ideal 32-thread pool (generous to the reference CPU planner,
 mjpc/testspeed.cc semantics), converted to candidate rollouts/s at the
 same horizon. The BASELINE.md target is >= 10x that number on TPU.
 
-Smaller dry-run knobs via env: BENCH_K (default 4096), BENCH_ITERS (5).
+Smaller dry-run knobs via env: BENCH_K (default 4096), BENCH_ITERS (50).
 """
 
 import json
@@ -76,9 +76,15 @@ def measure_tpu_rollouts(task, num_trajectory, horizon, iters,
   pol, info = optimize(key, d0, policy)   # compile + warmup
   jax.block_until_ready(pol.values)
 
-  # best-of-3 trials of `iters` iterations each: this environment's
-  # shared TPU shows 2-3x run-to-run variance under host load, so the
-  # fixed protocol is best-of-N (docs/BASELINE_PROTOCOL.md)
+  # best-of-3 trials of `iters` pipelined iterations each (block only at
+  # trial end). Iterations chain policy -> policy on-device, so this is
+  # the planner's STEADY-STATE throughput — the reference's plan thread
+  # free-runs the same way (mjpc/agent.cc:318-329). Blocking after every
+  # iteration would time this dev environment's host<->TPU tunnel
+  # round-trip (~25 ms) instead of the device (measured: 2.9 ms/iter
+  # pipelined vs 26 ms blocking for the identical program). iters=50
+  # amortizes the one trailing round-trip to <2%. Shared-TPU variance is
+  # still 2-3x run to run, hence best-of-3 (docs/BASELINE_PROTOCOL.md).
   best = float("inf")
   for _ in range(3):
     t0 = time.perf_counter()
@@ -191,7 +197,7 @@ def main():
   task = registry.get_task("Quadruped Flat")
   horizon = 36  # 0.35 s @ 0.01 s agent timestep
   k = int(os.environ.get("BENCH_K", "4096"))
-  iters = int(os.environ.get("BENCH_ITERS", "5"))
+  iters = int(os.environ.get("BENCH_ITERS", "50"))
 
   value, per_iter = measure_tpu_rollouts(task, k, horizon, iters)
   baseline = cpu_baseline_rollouts_per_s(horizon)
