@@ -116,6 +116,106 @@ def block_tridiag_solve(L, W, rhs):
   return xs[..., 0] if squeeze else xs
 
 
+def srif_gn_solve(A, B, C, r, Ld, L1, L2, rp, reg, Jth=None):
+  """Gauss-Newton step by sequential block QR on the JACOBIAN (square-
+  root information filter), never forming J^T J.
+
+  The Direct GN Hessian has cond ~ 1/h^4 (FD accelerations); in f32 the
+  normal-equation Cholesky loses the near-singular pivots to
+  cancellation (the reference factorizes the band in f64,
+  mju_cholFactorBand). QR works on J directly with cond(J) =
+  sqrt(cond(H)), which f32 handles.
+
+  System rows:
+    * stage rows [A_i B_i C_i | Jth_i | r_i] at column blocks
+      (i, i+1, i+2), i = 0..T-3;
+    * prior square-root rows L^T dz + rp (P = L L^T block-banded lower
+      Cholesky: Ld (T,b,b) diag, L1 (T-1,b,b) sub, L2 (T-2,b,b) 2-sub);
+    * Levenberg rows sqrt(reg) I per column block.
+
+  One lax.scan eliminates column blocks left to right (each step = one
+  dense QR of a small stacked block — MXU work); a reverse scan
+  back-substitutes. Returns (dz (T,b), dtheta (np,)).
+  """
+  t_len2, nr, b = A.shape
+  t_len = t_len2 + 2
+  n_p = Jth.shape[2] if Jth is not None else 0
+  dtype = A.dtype
+  w_cols = 3 * b + n_p + 1
+  nc = 2 * b + n_p                       # carry rows
+
+  sreg = jnp.sqrt(reg)
+  zero_stage = jnp.zeros((nr, w_cols), dtype)
+  # pad per-t inputs to length T with zeros
+  def padT(x, n):
+    return jnp.concatenate(
+        [x, jnp.zeros((n,) + x.shape[1:], x.dtype)], axis=0)
+  A_p, B_p, C_p, r_p = padT(A, 2), padT(B, 2), padT(C, 2), padT(r, 2)
+  Jth_p = padT(Jth, 2) if Jth is not None else None
+  L1_p, L2_p = padT(L1, 1), padT(L2, 2)
+
+  def step(carry, inp):
+    rc = carry                            # (nc, 2b + np + 1)
+    a_t, b_t, c_t, r_t, jth_t, ld_t, l1_t, l2_t, rp_t, is_stage = inp
+    rows = [jnp.concatenate([
+        rc[:, :2 * b], jnp.zeros((nc, b), dtype), rc[:, 2 * b:]], axis=1)]
+    stage = [a_t, b_t, c_t]
+    if Jth is not None:
+      stage.append(jth_t)
+    stage.append(r_t[:, None])
+    rows.append(jnp.where(is_stage, jnp.concatenate(stage, axis=1),
+                          zero_stage))
+    prior = [ld_t.T, l1_t.T, l2_t.T]
+    if Jth is not None:
+      prior.append(jnp.zeros((b, n_p), dtype))
+    prior.append(rp_t[:, None])
+    rows.append(jnp.concatenate(prior, axis=1))
+    damp = [sreg * jnp.eye(b, dtype=dtype),
+            jnp.zeros((b, 2 * b + n_p + 1), dtype)]
+    rows.append(jnp.concatenate(damp, axis=1))
+    m = jnp.concatenate(rows, axis=0)     # (nc + nr + 2b, w_cols)
+    q_, r_mat = jnp.linalg.qr(m, mode="reduced")
+    head = r_mat[:b]                      # output row block for column t
+    new_carry = r_mat[b:b + nc, b:]       # spans (t+1, t+2, theta, rhs)
+    return new_carry, head
+
+  carry0 = jnp.zeros((nc, 2 * b + n_p + 1), dtype)
+  inputs = (A_p, B_p, C_p, r_p,
+            Jth_p if Jth is not None else jnp.zeros((t_len, nr, 0),
+                                                    dtype),
+            Ld, L1_p, L2_p, rp,
+            (jnp.arange(t_len) <= t_len - 3)[:, None, None])
+  carry_f, heads = jax.lax.scan(step, carry0, inputs)
+
+  # parameter border: leftover carry rows span only (theta, rhs)
+  if n_p:
+    th_block = carry_f[:, 2 * b:]         # (nc, np + 1)
+    damp_th = jnp.concatenate(
+        [sreg * jnp.eye(n_p, dtype=dtype),
+         jnp.zeros((n_p, 1), dtype)], axis=1)
+    mth = jnp.concatenate([th_block, damp_th], axis=0)
+    _, rth = jnp.linalg.qr(mth, mode="reduced")
+    dtheta = jax.scipy.linalg.solve_triangular(
+        rth[:n_p, :n_p], -rth[:n_p, n_p], lower=False)
+  else:
+    dtheta = jnp.zeros((0,), dtype)
+
+  # back-substitution: R_tt x_t = -(y + R01 x_{t+1} + R02 x_{t+2}
+  #                                 + Rth dtheta)
+  def bsub(carry, head):
+    x1, x2 = carry
+    r_tt = head[:, :b]
+    rhs = head[:, -1] + head[:, b:2 * b] @ x1 + head[:, 2 * b:3 * b] @ x2
+    if n_p:
+      rhs = rhs + head[:, 3 * b:3 * b + n_p] @ dtheta
+    x_t = jax.scipy.linalg.solve_triangular(r_tt, -rhs, lower=False)
+    return (x_t, x1), x_t
+
+  zb = jnp.zeros((b,), dtype)
+  _, xs = jax.lax.scan(bsub, (zb, zb), heads, reverse=True)
+  return xs, dtheta
+
+
 def banded_gn_solve(D1, O1, O2, g, P=None, Q=None, g_theta=None):
   """Solve the Gauss-Newton system H dz = -g for a block-pentadiagonal
   H (optionally bordered by dense parameter columns).
@@ -130,6 +230,25 @@ def banded_gn_solve(D1, O1, O2, g, P=None, Q=None, g_theta=None):
   parameter step (zeros-shaped (0,) when no border).
   """
   t_len, b = g.shape
+  # symmetric block-Jacobi equilibration: the force rows scale the
+  # Hessian like 1/h^4 (~1e8 at h=0.01), and the sequential Schur
+  # subtractions of the block factorization lose everything below
+  # eps_f32 * |H| to cancellation. Scaling by 1/sqrt(diag(H)) brings
+  # the pivots to O(1); solve H' y = s*rhs with H' = S H S, dz = S y.
+  s = 1.0 / jnp.sqrt(jnp.maximum(
+      jnp.einsum("tii->ti", D1), 1e-12))            # (T, b)
+  D1 = D1 * s[:, :, None] * s[:, None, :]
+  O1 = O1 * s[:-1, :, None] * s[1:, None, :]
+  O2 = O2 * s[:-2, :, None] * s[2:, None, :]
+  g = g * s
+  if P is not None:
+    P = P * s[:, :, None]
+  # relative Levenberg jitter: after equilibration diag(H') = 1, and the
+  # f32 Schur subtractions can push near-singular pivots slightly
+  # negative (the FD-acceleration GN Hessian has cond ~ 1/h^4; the
+  # reference factorizes it in f64). 1e-4 damping keeps the Cholesky
+  # finite; the outer GN loop re-linearizes so the bias washes out.
+  D1 = D1 + 1e-4 * jnp.eye(b, dtype=D1.dtype)[None]
   Ds, Us = assemble_superblocks(D1, O1, O2)
   s_len = Ds.shape[0]
   pad = s_len * 2 - t_len
@@ -148,7 +267,7 @@ def banded_gn_solve(D1, O1, O2, g, P=None, Q=None, g_theta=None):
 
   if P is None:
     dz = block_tridiag_solve(L, W, to_super(-g))
-    return from_super(dz), jnp.zeros((0,), g.dtype)
+    return from_super(dz) * s, jnp.zeros((0,), g.dtype)
 
   n_p = Q.shape[0]
   rhs = jnp.concatenate([to_super(g)[..., None], to_super(P)], axis=2)
@@ -160,4 +279,4 @@ def banded_gn_solve(D1, O1, O2, g, P=None, Q=None, g_theta=None):
   pt_xg = jnp.einsum("sbp,sb->p", p_s, x_g)
   dtheta = jnp.linalg.solve(Q - pt_xp, -(g_theta - pt_xg))
   dz = -x_g - jnp.einsum("sbp,p->sb", x_p, dtheta)
-  return from_super(dz), dtheta
+  return from_super(dz) * s, dtheta

@@ -119,6 +119,10 @@ class Direct:
     self.weight_force = np.ones(nv)
     self.prior_weight = 0.0   # static: set before first optimize()
     self._prior_qpos = jnp.asarray(self.qpos_initial, dtype)
+    # optional matrix prior in block-band storage (Pd (T,nv,nv),
+    # Po1 (T-1,nv,nv), Po2 (T-2,nv,nv)) — banded path only; traced, so
+    # the Batch estimator's recursive prior updates never recompile
+    self.prior_band = None
     self.status = Status.UNSOLVED
     self.iterations = 0
 
@@ -129,7 +133,7 @@ class Direct:
   # -- core ------------------------------------------------------------------
 
   def _residuals(self, qs, theta, sensor_meas, force_meas, w_sensor,
-                 w_force):
+                 w_force, prior_qpos):
     """Stacked weighted residuals over the horizon.
 
     qs: (T, nq), theta: (nparam,). Velocity/acceleration by configuration
@@ -166,7 +170,7 @@ class Direct:
     # reference batch.{h,cc} adds a prior term to the Direct cost)
     if self.prior_weight > 0.0:
       dq = jax.vmap(lambda q, qp: deriv.qpos_diff(m, q, qp))(
-          qs, self._prior_qpos)
+          qs, prior_qpos)
       out = jnp.concatenate(
           [out, jnp.sqrt(self.prior_weight) * dq.reshape(-1)])
     return out
@@ -185,21 +189,22 @@ class Direct:
     def theta_of(theta0, dz):
       return theta0 + dz[t_hor * nv:]
 
-    def solve(q_init, theta0, sensor_meas, force_meas, w_sensor, w_force):
+    def solve(q_init, theta0, sensor_meas, force_meas, w_sensor, w_force,
+              prior_qpos):
       def cost_of(dz):
         r = self._residuals(qs_from_tangent(q_init, dz),
                             theta_of(theta0, dz), sensor_meas,
-                            force_meas, w_sensor, w_force)
+                            force_meas, w_sensor, w_force, prior_qpos)
         return 0.5 * jnp.sum(r * r)
 
       def gn_step(carry):
         dz, cost, reg, it, status = carry
         r = self._residuals(qs_from_tangent(q_init, dz),
                             theta_of(theta0, dz), sensor_meas,
-                            force_meas, w_sensor, w_force)
+                            force_meas, w_sensor, w_force, prior_qpos)
         jac = jax.jacfwd(lambda z: self._residuals(
             qs_from_tangent(q_init, z), theta_of(theta0, z), sensor_meas,
-            force_meas, w_sensor, w_force))(dz)
+            force_meas, w_sensor, w_force, prior_qpos))(dz)
         grad = jac.T @ r
         hess = jac.T @ jac + reg * jnp.eye(self.nvar, dtype=self.dtype)
         chol = jnp.linalg.cholesky(hess)
@@ -286,84 +291,143 @@ class Direct:
       return jnp.sqrt(jnp.asarray(self.prior_weight, self.dtype)) * \
           deriv.qpos_diff(m0, qn, q_prior)
 
-    def cost_of(qs, theta, sensor_meas, force_meas, w_sensor, w_force):
+    def chol_t_mult(ld, l1, l2, dq):
+      """y = L^T dq for a block-banded lower Cholesky factor L
+      (Ld diag, L1 sub, L2 2-sub blocks); dq (T, nv)."""
+      y = jnp.einsum("tji,tj->ti", ld, dq)
+      y = y.at[:-1].add(jnp.einsum("tji,tj->ti", l1, dq[1:]))
+      y = y.at[:-2].add(jnp.einsum("tji,tj->ti", l2, dq[2:]))
+      return y
+
+    def chol_mult(ld, l1, l2, y):
+      """x = L y for the same factor."""
+      x = jnp.einsum("tij,tj->ti", ld, y)
+      x = x.at[1:].add(jnp.einsum("tij,tj->ti", l1, y[:-1]))
+      x = x.at[2:].add(jnp.einsum("tij,tj->ti", l2, y[:-2]))
+      return x
+
+    def cost_of(qs, theta, sensor_meas, force_meas, w_sensor, w_force,
+                prior_qpos, ld, l1, l2):
       stacked = jnp.stack([qs[:-2], qs[1:-1], qs[2:]], axis=1)
       rs = jax.vmap(lambda q3, y, f: stage_res(
           q3, theta, y, f, w_sensor, w_force))(
               stacked, sensor_meas[1:-1], force_meas[1:-1])
       c = 0.5 * jnp.sum(rs * rs)
+      dq = jax.vmap(lambda q, qp: deriv.qpos_diff(m0, q, qp))(
+          qs, prior_qpos)
       if self.prior_weight > 0.0:
-        dq = jax.vmap(lambda q, qp: deriv.qpos_diff(m0, q, qp))(
-            qs, self._prior_qpos)
         c = c + 0.5 * self.prior_weight * jnp.sum(dq * dq)
+      # matrix prior as its square root (Batch estimator: 0.5 dq^T P dq
+      # with P = L L^T, reference batch.cc weight_prior_band_)
+      yp = chol_t_mult(ld, l1, l2, dq)
+      c = c + 0.5 * jnp.sum(yp * yp)
       return c
 
-    def solve(q_init, theta0, sensor_meas, force_meas, w_sensor, w_force):
+    def assemble(qs, theta, sensor_meas, force_meas, w_sensor, w_force,
+                 prior_qpos, ld, l1, l2):
+      """Band storage (d1, o1, o2), gradient g, the parameter border,
+      and the raw per-stage Jacobian blocks of the GN system at
+      (qs, theta) — regularization NOT included (the band is the
+      information matrix the Batch estimator conditions for its
+      recursive prior update; the raw blocks feed the SRIF QR solve).
+      The matrix prior arrives as its block-banded Cholesky factor
+      (ld, l1, l2), P = L L^T."""
+      stacked = jnp.stack([qs[:-2], qs[1:-1], qs[2:]], axis=1)
+      zeros3 = jnp.zeros(3 * nv, self.dtype)
+      zth = jnp.zeros(nparam, self.dtype)
+
+      def per_stage(q3, y_t, f_t):
+        r = stage_res_tangent(zeros3, zth, q3, theta, y_t, f_t,
+                              w_sensor, w_force)
+        j3, jth = jax.jacfwd(stage_res_tangent, argnums=(0, 1))(
+            zeros3, zth, q3, theta, y_t, f_t, w_sensor, w_force)
+        return r, j3, jth
+
+      rs, j3s, jths = jax.vmap(per_stage)(
+          stacked, sensor_meas[1:-1], force_meas[1:-1])
+      a_b = j3s[:, :, :nv]            # (T-2, nr, nv) wrt q_{t-1}
+      b_b = j3s[:, :, nv:2 * nv]      # wrt q_t
+      c_b = j3s[:, :, 2 * nv:]        # wrt q_{t+1}
+
+      def acc(x, y):                  # (T-2, nr, nv) pair -> X^T Y
+        return jnp.einsum("tri,trj->tij", x, y)
+
+      d1 = jnp.zeros((t_hor, nv, nv), self.dtype)
+      d1 = d1.at[:t_hor - 2].add(acc(a_b, a_b))
+      d1 = d1.at[1:t_hor - 1].add(acc(b_b, b_b))
+      d1 = d1.at[2:].add(acc(c_b, c_b))
+      o1 = jnp.zeros((t_hor - 1, nv, nv), self.dtype)
+      o1 = o1.at[:t_hor - 2].add(acc(a_b, b_b))
+      o1 = o1.at[1:].add(acc(b_b, c_b))
+      o2 = acc(a_b, c_b)              # H[t, t+2], t = 0..T-3
+
+      gv = jnp.einsum("tri,tr->ti", a_b, rs)
+      g = jnp.zeros((t_hor, nv), self.dtype)
+      g = g.at[:t_hor - 2].add(gv)
+      g = g.at[1:t_hor - 1].add(jnp.einsum("tri,tr->ti", b_b, rs))
+      g = g.at[2:].add(jnp.einsum("tri,tr->ti", c_b, rs))
+
+      # scalar prior rows (sqrt(w) * Jp per config) — expressed in the
+      # same square-root form the SRIF consumes
+      dq_p = jax.vmap(lambda q, qp: deriv.qpos_diff(m0, q, qp))(
+          qs, prior_qpos)
+      if self.prior_weight > 0.0:
+        zero_dq = jnp.zeros(nv, self.dtype)
+
+        def per_prior(q_t, q_p):
+          rp = prior_res(zero_dq, q_t, q_p)
+          jp = jax.jacfwd(prior_res)(zero_dq, q_t, q_p)
+          return rp, jp
+
+        rps, jps = jax.vmap(per_prior)(qs, prior_qpos)
+        # fold into the matrix-prior square root: L_d^T rows = jps
+        ld_eff = ld + jnp.swapaxes(jps, 1, 2)
+        rp_rows = rps + chol_t_mult(ld, l1, l2, dq_p)
+      else:
+        ld_eff = ld
+        rp_rows = chol_t_mult(ld, l1, l2, dq_p)
+
+      # H += P = L L^T, g += P dq (band products of the factor)
+      g = g + chol_mult(ld, l1, l2, chol_t_mult(ld, l1, l2, dq_p))
+      d1 = d1 + jnp.einsum("tik,tjk->tij", ld, ld)
+      d1 = d1.at[1:].add(jnp.einsum("tik,tjk->tij", l1, l1))
+      d1 = d1.at[2:].add(jnp.einsum("tik,tjk->tij", l2, l2))
+      o1 = o1 + jnp.einsum("tik,tjk->tij", ld[:-1], l1)
+      o1 = o1.at[1:].add(jnp.einsum("tik,tjk->tij", l1[:-1], l2))
+      o2 = o2 + jnp.einsum("tik,tjk->tij", ld[:-2], l2)
+      if self.prior_weight > 0.0:
+        d1 = d1 + jnp.einsum("tri,trj->tij", jps, jps)
+        g = g + jnp.einsum("tri,tr->ti", jps, rps)
+
+      if nparam:
+        p_b = jnp.zeros((t_hor, nv, nparam), self.dtype)
+        p_b = p_b.at[:t_hor - 2].add(jnp.einsum("tri,trp->tip", a_b,
+                                                jths))
+        p_b = p_b.at[1:t_hor - 1].add(jnp.einsum("tri,trp->tip", b_b,
+                                                 jths))
+        p_b = p_b.at[2:].add(jnp.einsum("tri,trp->tip", c_b, jths))
+        q_blk = jnp.einsum("trp,trq->pq", jths, jths)
+        g_th = jnp.einsum("trp,tr->p", jths, rs)
+      else:
+        p_b = q_blk = g_th = None
+      return (d1, o1, o2, g, p_b, q_blk, g_th,
+              a_b, b_b, c_b, rs, jths, ld_eff, rp_rows)
+
+    self._assemble_banded = assemble
+
+    def solve(q_init, theta0, sensor_meas, force_meas, w_sensor, w_force,
+              prior_qpos, ld, l1, l2):
       def gn_step(carry):
         qs, theta, cost, reg, it, status = carry
-        stacked = jnp.stack([qs[:-2], qs[1:-1], qs[2:]], axis=1)
-        zeros3 = jnp.zeros(3 * nv, self.dtype)
-        zth = jnp.zeros(nparam, self.dtype)
+        (d1, o1, o2, g, p_b, q_blk, g_th, a_b, b_b, c_b, rs, jths,
+         ld_eff, rp_rows) = assemble(
+            qs, theta, sensor_meas, force_meas, w_sensor, w_force,
+            prior_qpos, ld, l1, l2)
 
-        def per_stage(q3, y_t, f_t):
-          r = stage_res_tangent(zeros3, zth, q3, theta, y_t, f_t,
-                                w_sensor, w_force)
-          j3, jth = jax.jacfwd(stage_res_tangent, argnums=(0, 1))(
-              zeros3, zth, q3, theta, y_t, f_t, w_sensor, w_force)
-          return r, j3, jth
-
-        rs, j3s, jths = jax.vmap(per_stage)(
-            stacked, sensor_meas[1:-1], force_meas[1:-1])
-        a_b = j3s[:, :, :nv]            # (T-2, nr, nv) wrt q_{t-1}
-        b_b = j3s[:, :, nv:2 * nv]      # wrt q_t
-        c_b = j3s[:, :, 2 * nv:]        # wrt q_{t+1}
-
-        def acc(x, y):                  # (T-2, nr, nv) pair -> X^T Y
-          return jnp.einsum("tri,trj->tij", x, y)
-
-        d1 = jnp.zeros((t_hor, nv, nv), self.dtype)
-        d1 = d1.at[:t_hor - 2].add(acc(a_b, a_b))
-        d1 = d1.at[1:t_hor - 1].add(acc(b_b, b_b))
-        d1 = d1.at[2:].add(acc(c_b, c_b))
-        o1 = jnp.zeros((t_hor - 1, nv, nv), self.dtype)
-        o1 = o1.at[:t_hor - 2].add(acc(a_b, b_b))
-        o1 = o1.at[1:].add(acc(b_b, c_b))
-        o2 = acc(a_b, c_b)              # H[t, t+2], t = 0..T-3
-
-        gv = jnp.einsum("tri,tr->ti", a_b, rs)
-        g = jnp.zeros((t_hor, nv), self.dtype)
-        g = g.at[:t_hor - 2].add(gv)
-        g = g.at[1:t_hor - 1].add(jnp.einsum("tri,tr->ti", b_b, rs))
-        g = g.at[2:].add(jnp.einsum("tri,tr->ti", c_b, rs))
-
-        if self.prior_weight > 0.0:
-          zero_dq = jnp.zeros(nv, self.dtype)
-
-          def per_prior(q_t, q_p):
-            rp = prior_res(zero_dq, q_t, q_p)
-            jp = jax.jacfwd(prior_res)(zero_dq, q_t, q_p)
-            return rp, jp
-
-          rps, jps = jax.vmap(per_prior)(qs, self._prior_qpos)
-          d1 = d1 + jnp.einsum("tri,trj->tij", jps, jps)
-          g = g + jnp.einsum("tri,tr->ti", jps, rps)
-
-        d1 = d1 + reg * jnp.eye(nv, dtype=self.dtype)[None]
-
-        if nparam:
-          p_b = jnp.zeros((t_hor, nv, nparam), self.dtype)
-          p_b = p_b.at[:t_hor - 2].add(
-              jnp.einsum("tri,trp->tip", a_b, jths))
-          p_b = p_b.at[1:t_hor - 1].add(
-              jnp.einsum("tri,trp->tip", b_b, jths))
-          p_b = p_b.at[2:].add(jnp.einsum("tri,trp->tip", c_b, jths))
-          q_blk = jnp.einsum("trp,trq->pq", jths, jths) + \
-              reg * jnp.eye(nparam, dtype=self.dtype)
-          g_th = jnp.einsum("trp,tr->p", jths, rs)
-          dz, dth = band_lib.banded_gn_solve(d1, o1, o2, g, p_b, q_blk,
-                                             g_th)
-        else:
-          dz, dth = band_lib.banded_gn_solve(d1, o1, o2, g)
+        # square-root (QR) solve on the Jacobian — the f32-stable path
+        dz, dth = band_lib.srif_gn_solve(
+            a_b, b_b, c_b, rs, ld_eff, l1, l2, rp_rows, reg,
+            Jth=jths if nparam else None)
 
         def retract(qs, theta, alpha):
           qn = jax.vmap(lambda q, dq: deriv.qpos_add(m0, q, dq))(
@@ -374,7 +438,7 @@ class Direct:
           alpha, best_c, best_a = val
           qn, thn = retract(qs, theta, alpha)
           c_try = cost_of(qn, thn, sensor_meas, force_meas, w_sensor,
-                          w_force)
+                          w_force, prior_qpos, ld, l1, l2)
           better = c_try < best_c
           return (alpha * 0.5, jnp.where(better, c_try, best_c),
                   jnp.where(better, alpha, best_a))
@@ -402,7 +466,7 @@ class Direct:
             (reg < 1e8)
 
       cost0 = cost_of(q_init, theta0, sensor_meas, force_meas, w_sensor,
-                      w_force)
+                      w_force, prior_qpos, ld, l1, l2)
       init = (q_init, theta0, cost0,
               jnp.asarray(st.regularization_initial, self.dtype),
               jnp.zeros((), jnp.int32),
@@ -432,14 +496,78 @@ class Direct:
     if force is not None:
       self.weight_force = np.asarray(force) * np.ones(self.m.nv)
 
-  def optimize(self):
-    qs, theta, cost, cost0, it, status = self._solve(
-        jnp.asarray(self.qpos_initial, self.dtype),
-        jnp.asarray(self.param_initial, self.dtype),
+  def hessian_band(self, qs=None, theta=None):
+    """GN information matrix (no regularization) in block-band storage
+    (d1, o1, o2) at the given — default: last optimized —
+    configurations. Includes the prior terms. Used by the Batch
+    estimator's recursive prior update (reference batch.cc:354-384
+    ConditionMatrix on cost_hessian_)."""
+    assert self.banded, "hessian_band requires the banded path"
+    if not hasattr(self, "_hess_jit"):
+      self._hess_jit = jax.jit(
+          lambda *a: self._assemble_banded(*a)[:4])
+    qs = self.qpos_optimized if qs is None else qs
+    theta = self.parameters if theta is None else theta
+    d1, o1, o2, g = self._hess_jit(
+        jnp.asarray(qs, self.dtype),
+        jnp.asarray(theta, self.dtype),
         jnp.asarray(self.sensor_measured, self.dtype),
         jnp.asarray(self.force_measured, self.dtype),
         jnp.asarray(self.weight_sensor, self.dtype),
-        jnp.asarray(self.weight_force, self.dtype))
+        jnp.asarray(self.weight_force, self.dtype),
+        jnp.asarray(self._prior_qpos, self.dtype), *self._band_args())
+    return np.asarray(d1), np.asarray(o1), np.asarray(o2)
+
+  def _band_args(self):
+    """Block-banded lower Cholesky factor L of the matrix prior P
+    (traced args of the banded solve). Computed host-side in f64 — the
+    prior matrix accumulates conditioned Hessians whose entries span
+    ~1e8, beyond a safe f32 factorization."""
+    nv, t_hor = self.m.nv, self.horizon
+    if self.prior_band is not None:
+      assert self.prior_weight == 0.0, \
+          "scalar and matrix priors are mutually exclusive"
+      pd, po1, po2 = [np.asarray(x, np.float64) for x in self.prior_band]
+      n = t_hor * nv
+      w = np.zeros((n, n))
+      for i in range(t_hor):
+        w[i * nv:(i + 1) * nv, i * nv:(i + 1) * nv] = pd[i]
+      for i in range(t_hor - 1):
+        w[i * nv:(i + 1) * nv, (i + 1) * nv:(i + 2) * nv] = po1[i]
+        w[(i + 1) * nv:(i + 2) * nv, i * nv:(i + 1) * nv] = po1[i].T
+      for i in range(t_hor - 2):
+        w[i * nv:(i + 1) * nv, (i + 2) * nv:(i + 3) * nv] = po2[i]
+        w[(i + 2) * nv:(i + 3) * nv, i * nv:(i + 1) * nv] = po2[i].T
+      jit_eps = max(1e-12, 1e-9 * float(np.abs(np.diag(w)).max()))
+      lfull = np.linalg.cholesky(w + jit_eps * np.eye(n))
+      ld = np.stack([lfull[i * nv:(i + 1) * nv, i * nv:(i + 1) * nv]
+                     for i in range(t_hor)])
+      l1 = np.stack([lfull[(i + 1) * nv:(i + 2) * nv, i * nv:(i + 1) * nv]
+                     for i in range(t_hor - 1)]) if t_hor > 1 else \
+          np.zeros((0, nv, nv))
+      l2 = np.stack([lfull[(i + 2) * nv:(i + 3) * nv, i * nv:(i + 1) * nv]
+                     for i in range(t_hor - 2)]) if t_hor > 2 else \
+          np.zeros((0, nv, nv))
+      return (jnp.asarray(ld, self.dtype), jnp.asarray(l1, self.dtype),
+              jnp.asarray(l2, self.dtype))
+    return (jnp.zeros((t_hor, nv, nv), self.dtype),
+            jnp.zeros((t_hor - 1, nv, nv), self.dtype),
+            jnp.zeros((t_hor - 2, nv, nv), self.dtype))
+
+  def optimize(self):
+    args = (jnp.asarray(self.qpos_initial, self.dtype),
+            jnp.asarray(self.param_initial, self.dtype),
+            jnp.asarray(self.sensor_measured, self.dtype),
+            jnp.asarray(self.force_measured, self.dtype),
+            jnp.asarray(self.weight_sensor, self.dtype),
+            jnp.asarray(self.weight_force, self.dtype),
+            jnp.asarray(self._prior_qpos, self.dtype))
+    if self.banded:
+      args = args + self._band_args()
+    else:
+      assert self.prior_band is None, \
+          "matrix prior (prior_band) requires the banded path"
+    qs, theta, cost, cost0, it, status = self._solve(*args)
     self.qpos_optimized = np.asarray(qs)
     self.parameters = np.asarray(theta)
     self.cost = float(cost)

@@ -4,8 +4,25 @@ optimizer.
 Reference semantics (mjpc/estimators/batch.{h,cc}): a sliding window of the
 last `configuration_length` configurations is re-optimized at every update
 against the buffered (ctrl, sensor) history, with a Gaussian prior on the
-window (scale `batch_scale_prior`); the window then shifts forward
-(Shift/ShiftResizeTrajectory, history <= kMaxFilterHistory=64, batch.h:35).
+window; the window then shifts forward (Shift/ShiftResizeTrajectory,
+history <= kMaxFilterHistory=64, batch.h:35).
+
+Prior machinery (batch.cc:352-384):
+* the prior is a matrix weight P on the window tangent,
+  cost_prior = 0.5 dq^T P dq, stored block-band(3) like the cost Hessian
+  (weight_prior_band_); initialized to scale_prior * I.
+* recursive prior update (filter_settings.recursive_prior_update): after
+  each optimize, the GN cost Hessian H (the window's information matrix)
+  is CONDITIONED on dropping the oldest configuration — Schur complement
+  H' = H11 - H10 H00^{-1} H01 over the first nv dims (ConditionMatrix,
+  utilities.cc:1419) — the marginal information of the surviving
+  configurations; the shifted window's prior is H' with a fresh
+  scale_prior * I block for the incoming configuration, band-limited to
+  3 nv-blocks (DenseToBlockBand).
+
+TPU mapping: the Direct solve carries P as traced block-band arguments
+(no recompile per update); the condition/shift step is tiny dense host
+math on the <= 64*nv window.
 """
 
 from __future__ import annotations
@@ -17,21 +34,49 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mujoco_mpc_tpu import rollout as rollout_lib
 from mujoco_mpc_tpu.direct.optimizer import Direct, DirectSettings
 from mujoco_mpc_tpu.estimators import base
 from mujoco_mpc_tpu.physics import forward as F
-from mujoco_mpc_tpu.physics import sensors as sensors_lib
 from mujoco_mpc_tpu.planners import derivatives as deriv
 
 MAX_FILTER_HISTORY = 64  # reference batch.h:35
+
+
+def _band_to_dense(pd, po1, po2):
+  t_len, nv = pd.shape[0], pd.shape[1]
+  n = t_len * nv
+  h = np.zeros((n, n), pd.dtype)
+  for i in range(t_len):
+    h[i * nv:(i + 1) * nv, i * nv:(i + 1) * nv] = pd[i]
+  for i in range(t_len - 1):
+    h[i * nv:(i + 1) * nv, (i + 1) * nv:(i + 2) * nv] = po1[i]
+    h[(i + 1) * nv:(i + 2) * nv, i * nv:(i + 1) * nv] = po1[i].T
+  for i in range(t_len - 2):
+    h[i * nv:(i + 1) * nv, (i + 2) * nv:(i + 3) * nv] = po2[i]
+    h[(i + 2) * nv:(i + 3) * nv, i * nv:(i + 1) * nv] = po2[i].T
+  return h
+
+
+def _dense_to_band(h, t_len, nv):
+  """Band-limit a dense window matrix to 3 nv-blocks (reference
+  DenseToBlockBand(..., nv, 3)); symmetrizes the diagonal blocks."""
+  pd = np.stack([h[i * nv:(i + 1) * nv, i * nv:(i + 1) * nv]
+                 for i in range(t_len)])
+  pd = 0.5 * (pd + np.transpose(pd, (0, 2, 1)))
+  po1 = np.stack([h[i * nv:(i + 1) * nv, (i + 1) * nv:(i + 2) * nv]
+                  for i in range(t_len - 1)]) if t_len > 1 else \
+      np.zeros((0, nv, nv), h.dtype)
+  po2 = np.stack([h[i * nv:(i + 1) * nv, (i + 2) * nv:(i + 3) * nv]
+                  for i in range(t_len - 2)]) if t_len > 2 else \
+      np.zeros((0, nv, nv), h.dtype)
+  return pd, po1, po2
 
 
 class Batch(base.Estimator):
   """Fixed-lag batch smoother (reference GUI name: "Batch")."""
 
   def __init__(self, task, configuration_length: Optional[int] = None,
-               dtype=jnp.float32):
+               recursive_prior_update: bool = False, dtype=jnp.float32):
     self.task = task
     self.m = task.model
     self.dtype = dtype
@@ -39,16 +84,27 @@ class Batch(base.Estimator):
         task.config("batch_configuration_length", 3))
     self.cfg_len = min(max(cfg_len, 3), MAX_FILTER_HISTORY)
     self.prior_scale = float(task.config("batch_scale_prior", 1e-3))
+    # reference filter_settings.recursive_prior_update (default false)
+    self.recursive_prior_update = recursive_prior_update
 
-    self.direct = Direct(
-        task, self.cfg_len,
-        settings=DirectSettings(max_iterations=6, ls_iterations=6))
-    self.direct.prior_weight = self.prior_scale
-    self.direct.set_weights(sensor=1e3, force=1.0)
-
-    self.sensor_fn = self.direct.sensor_fn
+    self._make_direct()
     self._fwd = jax.jit(lambda d: F.forward(self.m, d))
     self.reset()
+
+  def _make_direct(self):
+    self.direct = Direct(
+        self.task, self.cfg_len, banded=True,
+        settings=DirectSettings(max_iterations=6, ls_iterations=6))
+    self.direct.set_weights(sensor=1e3, force=1.0)
+    self.sensor_fn = self.direct.sensor_fn
+
+  def _prior_identity(self):
+    nv, t_len = self.m.nv, self.cfg_len
+    pd = np.tile(self.prior_scale * np.eye(nv, dtype=np.float32),
+                 (t_len, 1, 1))
+    po1 = np.zeros((t_len - 1, nv, nv), np.float32)
+    po2 = np.zeros((t_len - 2, nv, nv), np.float32)
+    return pd, po1, po2
 
   def reset(self):
     d0 = self.task.make_data()
@@ -63,7 +119,63 @@ class Batch(base.Estimator):
         maxlen=self.cfg_len)
     self.qvel_est = np.zeros(self.m.nv)
     self.time = 0.0
-    self._warm = False
+    # prior weight matrix = scale_prior * I (batch.cc:796)
+    self.direct.prior_band = self._prior_identity()
+    self.direct.prior_weight = 0.0
+
+  def shift_resize(self, new_length: int):
+    """Runtime window resize preserving the newest history
+    (reference Batch::ShiftResizeTrajectory, batch.cc:801)."""
+    new_length = min(max(new_length, 3), MAX_FILTER_HISTORY)
+    if new_length == self.cfg_len:
+      return
+    old = list(self.q_history), list(self.sensor_history), \
+        list(self.force_history)
+    old_prior = self.direct.prior_band
+    old_len = self.cfg_len
+    self.cfg_len = new_length
+    self._make_direct()
+
+    def refit(items, fill):
+      if new_length <= old_len:
+        kept = items[old_len - new_length:]
+      else:
+        kept = [items[0].copy() for _ in range(new_length - old_len)] + \
+            list(items)
+      return deque(kept, maxlen=new_length)
+
+    self.q_history = refit(old[0], None)
+    self.sensor_history = refit(old[1], None)
+    self.force_history = refit(old[2], None)
+    # prior: keep the newest blocks' weights, new (older) slots get
+    # scale_prior * I (reference grows/truncates weight_prior_ in place)
+    pd, po1, po2 = self._prior_identity()
+    if old_prior is not None:
+      keep = min(old_len, new_length)
+      pd[-keep:] = old_prior[0][-keep:]
+      if keep > 1:
+        po1[-(keep - 1):] = old_prior[1][-(keep - 1):]
+      if keep > 2:
+        po2[-(keep - 2):] = old_prior[2][-(keep - 2):]
+    self.direct.prior_band = (pd, po1, po2)
+
+  def _prior_update(self):
+    """Recursive prior update: condition the window information matrix
+    on dropping the oldest configuration (batch.cc:352-384)."""
+    nv, t_len = self.m.nv, self.cfg_len
+    d1, o1, o2 = self.direct.hessian_band()
+    h = _band_to_dense(d1, o1, o2)
+    # Schur complement removing the first nv dims (ConditionMatrix)
+    h00 = h[:nv, :nv] + 1e-8 * np.eye(nv)
+    h10 = h[nv:, :nv]
+    cond = h[nv:, nv:] - h10 @ np.linalg.solve(h00, h10.T)
+    # shifted window: conditioned marginal for slots 0..T-2, fresh
+    # scale_prior * I for the incoming configuration
+    n = t_len * nv
+    w = np.zeros((n, n), np.float32)
+    w[:n - nv, :n - nv] = cond
+    w[n - nv:, n - nv:] = self.prior_scale * np.eye(nv)
+    self.direct.prior_band = _dense_to_band(w, t_len, nv)
 
   def update(self, ctrl, sensor):
     """Shift window, append measurement, re-optimize (batch.cc Update)."""
@@ -104,6 +216,9 @@ class Batch(base.Estimator):
         deriv.qpos_diff(m, jnp.asarray(qs[-1], self.dtype),
                         jnp.asarray(qs[-2], self.dtype))) / h
     self.time += h
+
+    if self.recursive_prior_update:
+      self._prior_update()
     return self.state
 
   @property

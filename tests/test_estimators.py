@@ -84,3 +84,63 @@ def test_batch_estimator_tracks():
     errs.append(np.linalg.norm(
         est.state[:task.model.nq] - states[t][:task.model.nq]))
   assert errs[-1] < 0.1, f"final err {errs[-1]}, first {errs[0]}"
+
+
+def test_batch_recursive_prior_update():
+  """Recursive prior (batch.cc:352-384): conditioning the window
+  information on the dropped configuration. The filter must still track,
+  and the prior matrix must evolve away from scale_prior * I and stay
+  symmetric PSD."""
+  from mujoco_mpc_tpu.estimators.batch import Batch, _band_to_dense
+  task = registry.get_task("Cartpole")
+  rng = np.random.default_rng(2)
+  states, sensors, ctrls = _simulate(task, 40, rng)
+  est = Batch(task, configuration_length=4, recursive_prior_update=True)
+  x0 = states[0].copy()
+  x0[:task.model.nq] += 0.2 * rng.standard_normal(task.model.nq)
+  est.set_state(x0)
+  p0 = _band_to_dense(*est.direct.prior_band)
+  errs = []
+  for t in range(1, len(states)):
+    est.update(ctrls[t], sensors[t])
+    errs.append(np.linalg.norm(
+        est.state[:task.model.nq] - states[t][:task.model.nq]))
+  p1 = _band_to_dense(*est.direct.prior_band)
+  assert errs[-1] < 0.1, f"final err {errs[-1]}, first {errs[0]}"
+  # prior evolved from the scale_prior * I init and accumulated info
+  assert np.linalg.norm(p1 - p0) > 1e-3
+  np.testing.assert_allclose(p1, p1.T, atol=1e-5)
+  assert np.all(np.linalg.eigvalsh(p1) > -1e-3)
+
+
+def test_batch_shift_resize():
+  """ShiftResizeTrajectory (batch.cc:801): runtime window resize keeps
+  the newest history and the filter keeps tracking after both a grow
+  and a shrink."""
+  from mujoco_mpc_tpu.estimators.batch import Batch
+  task = registry.get_task("Cartpole")
+  rng = np.random.default_rng(1)
+  states, sensors, ctrls = _simulate(task, 40, rng)
+  est = Batch(task, configuration_length=4)
+  x0 = states[0].copy()
+  x0[:task.model.nq] += 0.2 * rng.standard_normal(task.model.nq)
+  est.set_state(x0)
+  for t in range(1, 15):
+    est.update(ctrls[t], sensors[t])
+  err_mid = np.linalg.norm(
+      est.state[:task.model.nq] - states[14][:task.model.nq])
+  newest = est.q_history[-1].copy()
+  est.shift_resize(6)
+  assert est.cfg_len == 6 and len(est.q_history) == 6
+  np.testing.assert_allclose(est.q_history[-1], newest)
+  est.shift_resize(3)
+  assert est.cfg_len == 3 and len(est.q_history) == 3
+  np.testing.assert_allclose(est.q_history[-1], newest)
+  errs = []
+  for t in range(15, len(states)):
+    est.update(ctrls[t], sensors[t])
+    errs.append(np.linalg.norm(
+        est.state[:task.model.nq] - states[t][:task.model.nq]))
+  # resize did not break tracking: error stays in the converged band
+  assert errs[-1] < max(0.1, 1.5 * err_mid), \
+      f"final err {errs[-1]}, mid err {err_mid}"
