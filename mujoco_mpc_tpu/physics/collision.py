@@ -35,6 +35,9 @@ MESH = 7
 # narrowphase functions we support, keyed by (type1, type2) with type1<=type2
 # (number of candidate contact points per pair)
 SUPPORTED_PAIRS = {
+    (HFIELD, SPHERE): 1,
+    (HFIELD, CAPSULE): 2,
+    (HFIELD, BOX): 4,
     (PLANE, SPHERE): 1,
     (PLANE, CAPSULE): 2,
     (PLANE, ELLIPSOID): 1,
@@ -430,6 +433,117 @@ def _box_box(p1, m1, s1, p2, m2, s2):
           jnp.concatenate([n_a, n_b], axis=-2))
 
 
+# -- heightfields -----------------------------------------------------------
+# MuJoCo hfield semantics: normalized elevation grid (nrow, ncol) scaled
+# by size = (rx, ry, elevation_z, base_z); x spans [-rx, rx] over columns,
+# y spans [-ry, ry] over rows (row 0 at y = -ry). We collide sample
+# points (sphere center / capsule ends / box corners as point-spheres)
+# against the bilinear surface patch: exact height + in-cell gradient
+# give the contact normal; the signed gap is the vertical gap projected
+# on the surface normal. C MuJoCo collides against the triangulated
+# prisms — identical away from cell diagonals, within a cell-slope bound
+# near them (fidelity oracle: tests/test_hfield.py).
+
+
+def _hfield_points(data, size, nr, nc, pts_loc, radii):
+  """Contacts of local-frame sample points against one hfield patch.
+
+  data: (R, C) padded elevation grid; size: (4,); nr/nc: active dims;
+  pts_loc: (P, 3) in hfield frame; radii: (P,). Returns (dist, pos_loc,
+  n_loc) with leading axis P.
+  """
+  rx, ry, ez = size[0], size[1], size[2]
+  x, y, z = pts_loc[..., 0], pts_loc[..., 1], pts_loc[..., 2]
+  inside = (jnp.abs(x) <= rx) & (jnp.abs(y) <= ry)
+  dx = 2 * rx / (nc - 1)
+  dy = 2 * ry / (nr - 1)
+  fx = jnp.clip((x + rx) / dx, 0.0, nc - 1.001)
+  fy = jnp.clip((y + ry) / dy, 0.0, nr - 1.001)
+  c0 = jnp.floor(fx).astype(jnp.int32)
+  r0 = jnp.floor(fy).astype(jnp.int32)
+  tx = fx - c0
+  ty = fy - r0
+  flat = data.reshape(-1)
+  cmax = data.shape[1]
+
+  def at(rr, cc):
+    return flat[rr * cmax + cc] * ez
+
+  h00 = at(r0, c0)
+  h01 = at(r0, c0 + 1)
+  h10 = at(r0 + 1, c0)
+  h11 = at(r0 + 1, c0 + 1)
+  h = (h00 * (1 - tx) * (1 - ty) + h01 * tx * (1 - ty)
+       + h10 * (1 - tx) * ty + h11 * tx * ty)
+  hx = ((h01 - h00) * (1 - ty) + (h11 - h10) * ty) / dx
+  hy = ((h10 - h00) * (1 - tx) + (h11 - h01) * tx) / dy
+  inv = 1.0 / jnp.sqrt(1.0 + hx * hx + hy * hy)
+  n_loc = jnp.stack([-hx * inv, -hy * inv, inv * jnp.ones_like(hx)],
+                    axis=-1)
+  dist = (z - h) * inv - radii
+  dist = jnp.where(inside, dist, 1e4)
+  pos = pts_loc - n_loc * (radii + 0.5 * dist)[..., None]
+  return dist, pos, n_loc
+
+
+def _make_hfield_fn(points_of_geom2, npts):
+  """points_of_geom2(p_loc, m_loc, s2) -> (pts (P,3), radii (P,)) in the
+  HFIELD local frame."""
+
+  def one(data, size, nr, nc, p1, m1, p2, m2, s2):
+    # geom2 pose in hfield frame
+    p_loc = jnp.einsum("ij,i->j", m1, p2 - p1)
+    m_loc = jnp.einsum("ij,ik->jk", m1, m2)
+    pts, radii = points_of_geom2(p_loc, m_loc, s2)
+    dist, pos_loc, n_loc = _hfield_points(data, size, nr, nc, pts, radii)
+    pos = p1 + jnp.einsum("ij,pj->pi", m1, pos_loc)
+    n = jnp.einsum("ij,pj->pi", m1, n_loc)
+    return dist, pos, n
+
+  return one, npts
+
+
+def _hf_sphere_pts(p_loc, m_loc, s2):
+  return p_loc[None], s2[0:1]
+
+
+def _hf_capsule_pts(p_loc, m_loc, s2):
+  axis = m_loc[:, 2]
+  ends = jnp.stack([p_loc + axis * s2[1], p_loc - axis * s2[1]])
+  return ends, jnp.stack([s2[0], s2[0]])
+
+
+def _hf_box_pts(p_loc, m_loc, s2):
+  corners = jnp.array(
+      [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+      dtype=p_loc.dtype) * s2[:3]
+  cw = p_loc[None] + jnp.einsum("ij,kj->ki", m_loc, corners)  # (8, 3)
+  # 4 lowest corners in the hfield frame
+  _, idx = jax.lax.top_k(-cw[:, 2], 4)
+  return cw[idx], jnp.zeros((4,), p_loc.dtype)
+
+
+_HFIELD_FNS = {
+    (HFIELD, SPHERE): _make_hfield_fn(_hf_sphere_pts, 1),
+    (HFIELD, CAPSULE): _make_hfield_fn(_hf_capsule_pts, 2),
+    (HFIELD, BOX): _make_hfield_fn(_hf_box_pts, 4),
+}
+
+
+def _collide_hfield_group(m, g, d):
+  one, _ = _HFIELD_FNS[g.types]
+  hid = np.asarray(m.geom_dataid)[g.geom1]           # static per pair
+  nr = jnp.asarray([m.hfield_nrow[h] for h in hid], jnp.int32)
+  nc = jnp.asarray([m.hfield_ncol[h] for h in hid], jnp.int32)
+  data = m.hfield_data[hid]                          # (npair, R, C)
+  size = m.hfield_size[hid]
+  fn = jax.vmap(one)
+  return fn(data, size, nr, nc,
+            d.geom_xpos[g.geom1], d.geom_xmat[g.geom1],
+            d.geom_xpos[g.geom2], d.geom_xmat[g.geom2],
+            m.geom_size[g.geom2])
+
+
 _NARROWPHASE = {
     (PLANE, SPHERE): _plane_sphere,
     (PLANE, CAPSULE): _plane_capsule,
@@ -456,6 +570,12 @@ def collide(m, d):
   cp = m.collision_pairs
   dists, poss, nrms = [], [], []
   for g in cp.groups:
+    if g.types[0] == HFIELD:
+      dist, pos, n = _collide_hfield_group(m, g, d)
+      dists.append(dist.reshape(-1))
+      poss.append(pos.reshape(-1, 3))
+      nrms.append(n.reshape(-1, 3))
+      continue
     p1 = d.geom_xpos[g.geom1]
     m1 = d.geom_xmat[g.geom1]
     s1 = m.geom_size[g.geom1]

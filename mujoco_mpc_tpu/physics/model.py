@@ -87,6 +87,20 @@ def _np(x) -> np.ndarray:
   return np.array(x, copy=True)
 
 
+def _hfield_padded(mjm) -> np.ndarray:
+  """Stack heightfield elevation grids padded to a common shape."""
+  if mjm.nhfield == 0:
+    return np.zeros((0, 1, 1))
+  max_r = int(max(mjm.hfield_nrow))
+  max_c = int(max(mjm.hfield_ncol))
+  out = np.zeros((mjm.nhfield, max_r, max_c))
+  for i in range(mjm.nhfield):
+    nr, nc = int(mjm.hfield_nrow[i]), int(mjm.hfield_ncol[i])
+    adr = int(mjm.hfield_adr[i])
+    out[i, :nr, :nc] = mjm.hfield_data[adr:adr + nr * nc].reshape(nr, nc)
+  return out
+
+
 @struct.dataclass
 class Option:
   """Subset of mjOption needed by the pipeline."""
@@ -228,6 +242,13 @@ class Model:
   geom_solmix: jax.Array = None
   geom_margin: jax.Array = None
   geom_gap: jax.Array = None
+  # heightfield assets (normalized elevation grids, mjModel.hfield_*);
+  # padded to a common (max_nrow, max_ncol) so the pytree is static
+  hfield_data: jax.Array = None       # (nhfield, max_nrow, max_ncol)
+  hfield_size: jax.Array = None       # (nhfield, 4) rx ry elev_z base_z
+  hfield_nrow: tuple = struct.field(pytree_node=False, default=())
+  hfield_ncol: tuple = struct.field(pytree_node=False, default=())
+  geom_dataid: np.ndarray = struct.field(pytree_node=False, default=None)
   site_pos: jax.Array = None
   site_quat: jax.Array = None
   actuator_gainprm: jax.Array = None
@@ -557,6 +578,12 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       geom_solmix=dev(mjm.geom_solmix),
       geom_margin=dev(mjm.geom_margin),
       geom_gap=dev(mjm.geom_gap),
+      hfield_data=dev(_hfield_padded(mjm)),
+      hfield_size=dev(mjm.hfield_size.reshape(-1, 4)
+                      if mjm.nhfield else np.zeros((0, 4))),
+      hfield_nrow=tuple(int(x) for x in mjm.hfield_nrow),
+      hfield_ncol=tuple(int(x) for x in mjm.hfield_ncol),
+      geom_dataid=_np(mjm.geom_dataid).astype(np.int32),
       site_pos=dev(mjm.site_pos),
       site_quat=dev(mjm.site_quat),
       actuator_gainprm=dev(mjm.actuator_gainprm),

@@ -61,6 +61,9 @@ class Task:
         self.mjm = mujoco.MjModel.from_xml_string(xml, self.assets())
       else:
         self.mjm = mujoco.MjModel.from_xml_path(xml)
+    # hook for procedural asset data (e.g. hfield elevation grids) that
+    # MJCF cannot express inline — runs before the device transfer
+    self.prepare_mjm(self.mjm)
     self.model = model_lib.put_model(self.mjm, dtype=dtype)
     # planning model: the reference overrides timestep/integrator for the
     # planner's internal model (agent_timestep / agent_integrator custom
@@ -129,6 +132,10 @@ class Task:
 
   def assets(self) -> Optional[dict]:
     return None
+
+  def prepare_mjm(self, mjm):
+    """Fill procedural asset data (hfield grids, mocap clips) on the raw
+    MjModel before it is converted for the device. Default: no-op."""
 
   def residual(self, m: model_lib.Model, d: model_lib.Data,
                params: jax.Array) -> jax.Array:

@@ -706,20 +706,36 @@ class QuadrupedFlat(base.Task):
 
 
 class QuadrupedHill(QuadrupedFlat):
-  """Uneven-terrain variant (reference task_hill uses an hfield; here the
-  terrain is a run of static ramps and steps — box geoms — since mesh/
-  hfield collision is not yet supported)."""
+  """Uneven-terrain variant on a real heightfield (reference
+  tasks/quadruped/task_hill.xml: hfield "terrain"). The elevation grid
+  is procedural — smooth rolling hills from a few sinusoid octaves,
+  flat near the start pose — filled via prepare_mjm (MJCF cannot carry
+  inline elevation data). Collision: physics/collision.py hfield
+  narrowphase (bilinear surface patches)."""
 
   name = "Quadruped Hill"
+  HF_NROW = 64
+  HF_NCOL = 64
 
   def xml(self) -> str:
-    terrain = """
-    <geom name="ramp1" type="box" pos="1.0 0 0.03" euler="0 -6 0"
-          size="0.5 1.2 0.05"/>
-    <geom name="step1" type="box" pos="1.9 0 0.1" size="0.35 1.2 0.1"/>
-    <geom name="ramp2" type="box" pos="2.8 0 0.16" euler="0 6 0"
-          size="0.55 1.2 0.05"/>
-    """
-    return _XML.replace(
+    xml = _XML.replace(
         '<geom name="floor" type="plane" size="50 50 0.1"/>',
-        '<geom name="floor" type="plane" size="50 50 0.1"/>' + terrain)
+        '<geom name="floor" type="plane" size="50 50 0.1" pos="0 0 -0.5"/>'
+        '\n    <geom name="terrain" type="hfield" hfield="terrain"/>')
+    return xml.replace(
+        "<worldbody>",
+        f'<asset><hfield name="terrain" nrow="{self.HF_NROW}" '
+        f'ncol="{self.HF_NCOL}" size="8 8 0.35 0.4"/></asset>\n'
+        "  <worldbody>")
+
+  def prepare_mjm(self, mjm):
+    nr, nc = self.HF_NROW, self.HF_NCOL
+    y, x = np.meshgrid(np.linspace(-1, 1, nr), np.linspace(-1, 1, nc),
+                       indexing="ij")
+    h = (0.5 + 0.35 * np.sin(3.1 * x + 1.0) * np.cos(2.3 * y)
+         + 0.15 * np.sin(6.7 * x + 2.0) * np.sin(5.3 * y + 1.0))
+    h = (h - h.min()) / max(h.max() - h.min(), 1e-9)
+    # flatten a disc around the home pose (hfield center) to elevation 0
+    r2 = x * x + y * y
+    blend = np.clip((np.sqrt(r2) - 0.08) / 0.12, 0.0, 1.0)
+    mjm.hfield_data[:] = (h * blend).reshape(-1)
