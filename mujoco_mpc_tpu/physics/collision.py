@@ -38,6 +38,8 @@ SUPPORTED_PAIRS = {
     (HFIELD, SPHERE): 1,
     (HFIELD, CAPSULE): 2,
     (HFIELD, BOX): 4,
+    (PLANE, MESH): 4,
+    (SPHERE, MESH): 1,
     (PLANE, SPHERE): 1,
     (PLANE, CAPSULE): 2,
     (PLANE, ELLIPSOID): 1,
@@ -530,6 +532,54 @@ _HFIELD_FNS = {
 }
 
 
+# -- convex meshes ----------------------------------------------------------
+# Vertex-set narrowphase on the padded per-mesh vertex arrays:
+#   plane-mesh: the 4 deepest vertices against the plane (exact for a
+#     convex hull resting on a plane — contact is a face/edge/vertex of
+#     the hull, always among the deepest vertices);
+#   sphere-mesh: nearest-vertex proximity (dense hulls make the vertex
+#     discretization error ~edge length; exact face-interior contact is
+#     future work — planning contacts on the reference tasks are
+#     plane/hfield + primitives almost everywhere).
+
+
+def _plane_mesh_one(verts, p1, m1, p2, m2):
+  n = m1[:, 2]
+  vw = p2[None] + jnp.einsum("ij,vj->vi", m2, verts)   # (V, 3)
+  h = jnp.einsum("vi,i->v", vw - p1[None], n)
+  _, idx = jax.lax.top_k(-h, 4)
+  h4 = h[idx]
+  pts = vw[idx]
+  pos = pts - 0.5 * h4[:, None] * n[None]
+  return h4, pos, jnp.broadcast_to(n[None], (4, 3))
+
+
+def _sphere_mesh_one(verts, p1, m1, s1, p2, m2):
+  c, r = p1, s1[0]
+  vw = p2[None] + jnp.einsum("ij,vj->vi", m2, verts)
+  dvec = vw - c[None]
+  dn = jnp.linalg.norm(dvec, axis=-1)
+  k = jnp.argmin(dn)
+  dmin = dn[k]
+  n = dvec[k] / jnp.maximum(dmin, 1e-9)
+  dist = dmin - r
+  pos = c + n * (r + 0.5 * dist)
+  return dist[None], pos[None], n[None]
+
+
+def _collide_mesh_group(m, g, d):
+  mid = np.asarray(m.geom_dataid)[g.geom2]             # mesh is geom2
+  verts = m.mesh_vert[mid]                             # (npair, V, 3)
+  if g.types == (PLANE, MESH):
+    fn = jax.vmap(_plane_mesh_one)
+    return fn(verts, d.geom_xpos[g.geom1], d.geom_xmat[g.geom1],
+              d.geom_xpos[g.geom2], d.geom_xmat[g.geom2])
+  fn = jax.vmap(_sphere_mesh_one)
+  return fn(verts, d.geom_xpos[g.geom1], d.geom_xmat[g.geom1],
+            m.geom_size[g.geom1], d.geom_xpos[g.geom2],
+            d.geom_xmat[g.geom2])
+
+
 def _collide_hfield_group(m, g, d):
   one, _ = _HFIELD_FNS[g.types]
   hid = np.asarray(m.geom_dataid)[g.geom1]           # static per pair
@@ -570,8 +620,10 @@ def collide(m, d):
   cp = m.collision_pairs
   dists, poss, nrms = [], [], []
   for g in cp.groups:
-    if g.types[0] == HFIELD:
-      dist, pos, n = _collide_hfield_group(m, g, d)
+    if g.types[0] == HFIELD or g.types[1] == MESH:
+      collide_special = (_collide_hfield_group if g.types[0] == HFIELD
+                         else _collide_mesh_group)
+      dist, pos, n = collide_special(m, g, d)
       dists.append(dist.reshape(-1))
       poss.append(pos.reshape(-1, 3))
       nrms.append(n.reshape(-1, 3))

@@ -87,6 +87,21 @@ def _np(x) -> np.ndarray:
   return np.array(x, copy=True)
 
 
+def _mesh_padded(mjm) -> np.ndarray:
+  """Stack mesh vertex sets padded (by replicating vertex 0) to a
+  common count."""
+  if mjm.nmesh == 0:
+    return np.zeros((0, 1, 3))
+  max_v = int(max(mjm.mesh_vertnum))
+  out = np.zeros((mjm.nmesh, max_v, 3))
+  for i in range(mjm.nmesh):
+    adr, num = int(mjm.mesh_vertadr[i]), int(mjm.mesh_vertnum[i])
+    v = mjm.mesh_vert[adr:adr + num]
+    out[i, :num] = v
+    out[i, num:] = v[0]
+  return out
+
+
 def _hfield_padded(mjm) -> np.ndarray:
   """Stack heightfield elevation grids padded to a common shape."""
   if mjm.nhfield == 0:
@@ -249,6 +264,9 @@ class Model:
   hfield_nrow: tuple = struct.field(pytree_node=False, default=())
   hfield_ncol: tuple = struct.field(pytree_node=False, default=())
   geom_dataid: np.ndarray = struct.field(pytree_node=False, default=None)
+  # mesh assets: vertices in geom frame, padded to a common count (the
+  # pad replicates vertex 0 so reductions stay correct)
+  mesh_vert: jax.Array = None         # (nmesh, maxV, 3)
   site_pos: jax.Array = None
   site_quat: jax.Array = None
   actuator_gainprm: jax.Array = None
@@ -584,6 +602,7 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       hfield_nrow=tuple(int(x) for x in mjm.hfield_nrow),
       hfield_ncol=tuple(int(x) for x in mjm.hfield_ncol),
       geom_dataid=_np(mjm.geom_dataid).astype(np.int32),
+      mesh_vert=dev(_mesh_padded(mjm)),
       site_pos=dev(mjm.site_pos),
       site_quat=dev(mjm.site_quat),
       actuator_gainprm=dev(mjm.actuator_gainprm),
