@@ -135,7 +135,9 @@ def lane_term_cost(rows, ntype, p, q):
   if nt == NT.L2:
     return jnp.sqrt(sum(r * r for r in rows) + p * p) - p
   if nt == NT.COSH:
-    return sum(p * p * (jnp.cosh(r / p) - 1.0) for r in rows)
+    # cosh via exp: Pallas TPU has no cosh lowering
+    return sum(p * p * (0.5 * (jnp.exp(r / p) + jnp.exp(-r / p)) - 1.0)
+               for r in rows)
   if nt == NT.POWER_LOSS:
     return sum(jnp.power(jnp.abs(r), p) for r in rows)
   if nt == NT.SMOOTH_ABS:
@@ -908,7 +910,12 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
   # KB=1024 always fits and every component is a full (8, 128) tile.
   out_rows = (nq + nv + residual_dim) if record_states else residual_dim
   out_t = 1 if cost_terms else horizon
-  KB = 512 if record_states else 1024
+  # In cost-sum mode the per-op overhead dominates (the VPU is far from
+  # element-throughput-bound at these shapes), so fewer, WIDER blocks
+  # win: one (32, 128) op amortizes the fixed Mosaic op cost over 4
+  # VREGs where a 4-step grid of (8, 128) blocks pays it 4x. The raised
+  # vmem_limit below makes the single-block live set fit.
+  KB = 512 if record_states else (4096 if cost_terms else 1024)
   while KB > 128 and out_t * max(out_rows, 1) * KB * 4 > 3_000_000:
     KB //= 2
 
