@@ -1,0 +1,110 @@
+"""All five BASELINE.md benchmark configs on the real TPU.
+
+Prints one JSON line per config (planner iterations/s, rollouts/s where
+meaningful, p50-equivalent steady-state latency). bench.py remains the
+driver's single-line flagship; this is the full-coverage instrument:
+
+  1. Cartpole swing-up, predictive sampling, 1 s horizon
+  2. Swimmer + Walker, iLQG
+  3. Quadruped Flat, predictive sampling, 4096 rollouts (flagship)
+  4. Humanoid mocap tracking
+  5. Hand/Rubik cube (high-DoF contact-rich)
+
+Run: python -c "import sys; sys.path.insert(0,'/root/repo');
+import runpy; runpy.run_path('/root/repo/scripts/bench_configs.py',
+run_name='__main__')"  (PYTHONPATH breaks the axon plugin)
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from mujoco_mpc_tpu.planners import ilqg as ilqg_lib
+from mujoco_mpc_tpu.planners import sampling
+from mujoco_mpc_tpu.tasks import registry
+
+
+def steady_state(step_fn, iters=30):
+  """Steady-state pipelined seconds/iteration (bench.py protocol)."""
+  step_fn()  # compile + warmup
+  best = float("inf")
+  for _ in range(3):
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+      out = step_fn()
+    jax.block_until_ready(out)
+    best = min(best, (time.perf_counter() - t0) / iters)
+  return best
+
+
+def bench_sampling(name, k, horizon, lane=True):
+  task = registry.get_task(name)
+  config = sampling.make_config(task).replace(num_trajectory=k,
+                                              horizon=horizon)
+  d0 = task.make_data()
+  key = [jax.random.PRNGKey(0)]
+  if lane:
+    try:
+      from mujoco_mpc_tpu.ops import sampling_lane
+      opt = jax.jit(sampling_lane.make_lane_optimize_fn(
+          task, config, unroll=False))
+    except Exception:
+      lane = False
+  if not lane:
+    residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
+    opt = jax.jit(sampling.make_optimize_fn(
+        getattr(task, "plan_model", task.model), residual_fn,
+        task.cost_spec.cost, config))
+  pol = [sampling.initial_policy(
+      getattr(task, "plan_model", task.model), config)]
+
+  def step():
+    key[0], sub = jax.random.split(key[0])
+    pol[0], info = opt(sub, d0, pol[0])
+    return pol[0].values
+
+  t = steady_state(step)
+  print(json.dumps({
+      "config": name, "planner": "sampling",
+      "k": k, "horizon": horizon, "path": "lane" if lane else "xla",
+      "ms_per_iteration": round(1e3 * t, 2),
+      "rollouts_per_s": round(k / t, 1)}), flush=True)
+
+
+def bench_ilqg(name, horizon):
+  task = registry.get_task(name)
+  config = ilqg_lib.make_config(task).replace(horizon=horizon)
+  planner = ilqg_lib.ILQGPlanner(task, config)
+  d0 = task.make_data()
+  key = [jax.random.PRNGKey(0)]
+
+  def step():
+    key[0], sub = jax.random.split(key[0])
+    info = planner.optimize(sub, d0)
+    return info["best_return"]
+
+  t = steady_state(step, iters=10)
+  print(json.dumps({
+      "config": name, "planner": "ilqg", "horizon": horizon,
+      "ms_per_iteration": round(1e3 * t, 2),
+      "solves_per_s": round(1.0 / t, 1)}), flush=True)
+
+
+def main():
+  bench_sampling("Cartpole", k=128, horizon=100)          # config 1
+  bench_ilqg("Swimmer", horizon=40)                       # config 2a
+  bench_ilqg("Walker", horizon=32)                        # config 2b
+  bench_sampling("Quadruped Flat", k=4096, horizon=36)    # config 3
+  bench_sampling("Humanoid Track", k=512, horizon=25)     # config 4
+  bench_sampling("Rubik", k=512, horizon=16, lane=False)  # config 5
+
+
+if __name__ == "__main__":
+  main()
