@@ -28,6 +28,41 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
   return Mesh(np.array(devs), (ROLLOUT_AXIS,))
 
 
+DCN_AXIS = "dcn"
+ICI_AXIS = "ici"
+
+
+def make_hierarchical_mesh(n_hosts: Optional[int] = None,
+                           per_host: Optional[int] = None) -> Mesh:
+  """Two-level ('dcn', 'ici') mesh for multi-host scale-out.
+
+  Host-major device order: the candidate axis splits first across hosts
+  (slow DCN links) and then across each host's chips (fast ICI), so the
+  only traffic that crosses DCN is the final tiny (return, index) argmin
+  reduction — per-candidate rollout work never leaves a chip, and the
+  policy/state broadcast is a few KB (SURVEY §2.10: the reference has no
+  cross-host story at all; its pool is one process).
+
+  On a real multi-host platform the defaults come from
+  jax.process_count(); on a single host (or the CPU-device test mesh)
+  pass n_hosts/per_host explicitly to emulate the topology.
+  """
+  devs = jax.devices()
+  if n_hosts is None:
+    n_hosts = max(jax.process_count(), 1)
+  if per_host is None:
+    per_host = len(devs) // n_hosts
+  devs = devs[:n_hosts * per_host]
+  grid = np.array(devs).reshape(n_hosts, per_host)
+  return Mesh(grid, (DCN_AXIS, ICI_AXIS))
+
+
+def candidate_spec(mesh: Mesh) -> P:
+  """PartitionSpec sharding a leading candidate axis over ALL mesh axes
+  (works for the 1-D rollout mesh and the 2-D dcn x ici mesh)."""
+  return P(tuple(mesh.axis_names))
+
+
 def shard_candidates(mesh: Mesh, candidates: jax.Array) -> jax.Array:
   """Place candidate axis (leading) across the rollout mesh axis."""
   sharding = NamedSharding(mesh, P(ROLLOUT_AXIS))

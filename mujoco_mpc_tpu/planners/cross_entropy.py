@@ -107,7 +107,7 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: CEMConfig,
     if mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
       candidates = jax.lax.with_sharding_constraint(
-          candidates, NamedSharding(mesh, P("rollout")))
+          candidates, NamedSharding(mesh, P(tuple(mesh.axis_names))))
 
     trajs = jax.vmap(
         lambda v: rollout_one(rf, cf, v, policy.t0, policy.dt, d0))(

@@ -159,3 +159,37 @@ def test_sharded_argmin_parity_random():
   sharded = jax.device_put(vals, NamedSharding(mesh, P("rollout")))
   got = jax.jit(mesh_lib.sharded_argmin)(sharded)
   assert int(got) == int(np.argmin(np.asarray(vals)))
+
+
+def test_hierarchical_dcn_ici_mesh_matches_unsharded():
+  """Two-level (dcn, ici) mesh (multi-host topology emulated as 2 hosts
+  x 4 devices on the CPU test mesh): the sharded planner picks the same
+  winner and returns as the unsharded one — per-candidate work never
+  crosses shards; only the (return, index) argmin reduction does."""
+  from mujoco_mpc_tpu.parallel import mesh as mesh_lib
+  from mujoco_mpc_tpu.planners import sampling
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Cartpole")
+  config = sampling.make_config(task).replace(num_trajectory=16,
+                                              horizon=10)
+  residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
+  d0 = task.make_data()
+  key = jax.random.PRNGKey(3)
+  policy = sampling.initial_policy(task.model, config)
+
+  opt_plain = jax.jit(sampling.make_optimize_fn(
+      task.model, residual_fn, task.cost_spec.cost, config))
+  pol_a, info_a = opt_plain(key, d0, policy)
+
+  mesh = mesh_lib.make_hierarchical_mesh(n_hosts=2, per_host=4)
+  assert mesh.axis_names == ("dcn", "ici")
+  opt_sharded = jax.jit(sampling.make_optimize_fn(
+      task.model, residual_fn, task.cost_spec.cost, config, mesh=mesh))
+  pol_b, info_b = opt_sharded(key, d0, policy)
+
+  assert int(info_a["winner"]) == int(info_b["winner"])
+  np.testing.assert_allclose(np.asarray(info_a["returns"]),
+                             np.asarray(info_b["returns"]), rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(pol_a.values),
+                             np.asarray(pol_b.values), atol=1e-6)
