@@ -50,8 +50,15 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   assert step_lane.supports(m, ground_only=True), \
       "model outside the lane kernel class"
   assert config.interp == spline_lib.Interpolation.ZERO
-  spec = (task.lane_residual_spec()
-          if hasattr(task, "lane_residual_spec") else None)
+  if hasattr(task, "lane_residual_spec"):
+    try:
+      # time-varying specs (mocap tracking) need the horizon to pack
+      # per-step aux rows
+      spec = task.lane_residual_spec(horizon=config.horizon)
+    except TypeError:
+      spec = task.lane_residual_spec()
+  else:
+    spec = None
   assert spec is not None or hasattr(task, "residual_from_rollout"), \
       "task must implement lane_residual_spec or residual_from_rollout"
   horizon = config.horizon

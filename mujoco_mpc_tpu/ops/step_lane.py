@@ -206,7 +206,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                       num_nodes - 1) for t in range(horizon)]
 
   def step_body(qpos, qvel, ctrl, t_step=None, aux=None,
-                derived_only=False):
+                derived_only=False, aux_dyn=None):
     """One physics step on component lists; returns (qpos', qvel', res)
     where res is the residual_fn row list (or None). With derived_only,
     only the quantities the residual needs (FK, com, cdof/cvel,
@@ -502,6 +502,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     if residual_fn is not None:
       res = residual_fn(dict(
           m=m, c=c, lm=lm, cv=cv, like=like, h=h, t=t_step, aux=aux,
+          aux_dyn=aux_dyn,
           qpos=qpos, qvel=qvel, ctrl=ctrl, xpos=xpos, xquat=xquat,
           xipos=xipos, subtree_com=subtree_com, ref=ref, cvel=cvel,
           act_force=act_force))
@@ -842,6 +843,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         aux_ref, res_ref, final_ref = rest
         out_ref = sums_ref = None
       aux = [aux_ref[i] for i in range(naux)]
+      aux_dyn = (lambda i: aux_ref[i]) if aux_ref is not None else None
       if cost_terms:
         norm_p = [aux_ref[naux + i] for i in range(2 * nterm)]
     else:
@@ -869,7 +871,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       for t in range(horizon):
         node = node_of_step[t]
         ctrl = [values_ref[node * nu + u] for u in range(nu)]
-        new_qpos, new_qvel, res = step_body(qpos, qvel, ctrl, t, aux)
+        new_qpos, new_qvel, res = step_body(qpos, qvel, ctrl, t, aux,
+                                            aux_dyn=aux_dyn)
         if cost_terms:
           tc = term_costs(res, norm_p)
           sums = [s_ + c_ for s_, c_ in zip(sums, tc)]
@@ -884,7 +887,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         node = jnp.minimum((t * num_nodes) // max(horizon - 1, 1),
                            num_nodes - 1)
         ctrl = [values_ref[node * nu + u] for u in range(nu)]
-        new_qpos, new_qvel, res = step_body(qpos, qvel, ctrl, t, aux)
+        new_qpos, new_qvel, res = step_body(qpos, qvel, ctrl, t, aux,
+                                            aux_dyn=aux_dyn)
         if cost_terms:
           tc = term_costs(res, norm_p)
           sums = [s_ + c_ for s_, c_ in zip(sums, tc)]
@@ -1055,7 +1059,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     qv = [qvel[i] for i in range(nv)]
     ct = [ctrl[i] for i in range(nu)]
     ax = None if aux is None else [aux[i] for i in range(aux.shape[0])]
-    qpn, qvn, res = step_body(qp, qv, ct, t, ax)
+    axd = None if aux is None else (lambda i: aux[i])
+    qpn, qvn, res = step_body(qp, qv, ct, t, ax, aux_dyn=axd)
     out = (jnp.stack(qpn), jnp.stack(qvn))
     return out + ((jnp.stack(res),) if res is not None else ())
 
@@ -1070,7 +1075,9 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     qv = [qvel[i] for i in range(nv)]
     ct = [ctrl[i] for i in range(nu)]
     ax = None if aux is None else [aux[i] for i in range(aux.shape[0])]
-    _, _, res = step_body(qp, qv, ct, t, ax, derived_only=True)
+    axd = None if aux is None else (lambda i: aux[i])
+    _, _, res = step_body(qp, qv, ct, t, ax, derived_only=True,
+                          aux_dyn=axd)
     return jnp.stack(res)
 
   rollout.step_array = step_array

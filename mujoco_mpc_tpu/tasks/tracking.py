@@ -92,6 +92,96 @@ class HumanoidTracking(humanoid.HumanoidStand):
     vel = (p1 - p0) * FPS
     return pos, vel
 
+  def lane_residual_spec(self, horizon: int = None):
+    """In-kernel tracking residual (ops/step_lane.py component form).
+
+    The clip targets are time-varying, so they ride PER-STEP aux rows:
+    make_aux interpolates the clip at the horizon's step times in XLA
+    (d0.time is traced — live SetState never recompiles) and packs
+    (pos 18, vel 18) rows per step; the kernel fn gathers row
+    t*36 + i through ctx["aux_dyn"] (a dynamic aux_ref read, the same
+    mechanism as the ctrl spline's node gather)."""
+    if horizon is None:
+      raise TypeError("tracking lane spec needs the horizon")
+    import numpy as np
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    h = float(g(m.opt.timestep))
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    body_mass = np.asarray(g(m.body_mass))
+    parent = np.asarray(m.body_parentid)
+    torso = self._torso
+    feet = [(int(site_bodyid[s]), [float(v) for v in site_pos[s]])
+            for s in self._feet_sites]
+    head_b = int(site_bodyid[self._head])
+    head_p = [float(v) for v in site_pos[self._head]]
+    ids = []
+    for b in range(m.nbody):
+      a = b
+      while a not in (0, torso):
+        a = int(parent[a])
+      if a == torso:
+        ids.append(b)
+    total_mass = max(sum(float(body_mass[b]) for b in ids), 1e-12)
+    nv, nu = m.nv, m.nu
+    sites = [(head_b, head_p)] + feet   # head + 4 foot points
+
+    def fn(ctx):
+      lm, cv, t = ctx["lm"], ctx["cv"], ctx["t"]
+      xpos, xquat, xipos = ctx["xpos"], ctx["xquat"], ctx["xipos"]
+      scom, ref, cvel = ctx["subtree_com"], ctx["ref"], ctx["cvel"]
+      qvel, ctrl, aux_dyn = ctx["qvel"], ctx["ctrl"], ctx["aux_dyn"]
+      base = t * 36
+
+      def tgt(i):
+        return aux_dyn(base + i)
+
+      rows = [qvel[i] for i in range(6, nv)]
+      rows += list(ctrl)
+      # current points: head, subtree com, 4 foot sites (order matches
+      # residual(): [head, com, feet])
+      pts, vels = [], []
+      sp_head = lm.vadd(xpos[head_b], lm.qrot(xquat[head_b], cv(head_p)))
+      pts.append(sp_head)
+      ang_h, lin_h = cvel[head_b]
+      vels.append(lm.vadd(lin_h, lm.vcross(
+          ang_h, lm.vsub(sp_head, ref[head_b]))))
+      comvel = [0.0, 0.0, 0.0]
+      for b in ids:
+        ang_b, lin_b = cvel[b]
+        linv = lm.vadd(lin_b, lm.vcross(ang_b, lm.vsub(xipos[b], ref[b])))
+        for k in range(3):
+          comvel[k] = comvel[k] + float(body_mass[b]) * linv[k]
+      comvel = [v / total_mass for v in comvel]
+      pts.append(tuple(scom[torso][k] for k in range(3)))
+      vels.append(tuple(comvel))
+      for b, p in feet:
+        sp = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
+        pts.append(sp)
+        ang_b, lin_b = cvel[b]
+        vels.append(lm.vadd(lin_b, lm.vcross(
+            ang_b, lm.vsub(sp, ref[b]))))
+      for j, p in enumerate(pts):
+        for k in range(3):
+          rows.append(p[k] - tgt(3 * j + k))
+      for j, v in enumerate(vels):
+        for k in range(3):
+          rows.append(v[k] - tgt(18 + 3 * j + k))
+      return rows
+
+    clip = self.clip
+
+    def make_aux(d0, params):
+      times = d0.time + h * jnp.arange(horizon, dtype=jnp.float32)
+      pos, vel = jax.vmap(self._reference)(times)     # (H, 6, 3) each
+      per_step = jnp.concatenate(
+          [pos.reshape(horizon, 18), vel.reshape(horizon, 18)], axis=1)
+      return per_step.reshape(-1)                     # row t*36 + i
+
+    return dict(dim=(nv - 6) + nu + 36, naux=horizon * 36, fn=fn,
+                make_aux=make_aux)
+
   def residual(self, m: Model, d: Data, params: jax.Array) -> jax.Array:
     ref_pos, ref_vel = self._reference(d.time)
 

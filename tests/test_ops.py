@@ -292,3 +292,47 @@ def test_lane_kernel_small_task_residuals_match_pipeline():
       ref = task.residual(m, fwd(d), task.residual_params)
       np.testing.assert_allclose(np.asarray(res[:, k]), np.asarray(ref),
                                  atol=5e-4, err_msg=f"{task_name} k={k}")
+
+
+def test_lane_kernel_tracking_residual_matches_pipeline():
+  """Humanoid Track lane spec: the time-varying clip targets ride
+  per-step aux rows gathered with ctx['aux_dyn']; rows must match the
+  pipeline residual at the matching clip time."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Humanoid Track")
+  m = getattr(task, "plan_model", task.model)
+  horizon = 4
+  spec = task.lane_residual_spec(horizon=horizon)
+  k_c = 3
+  kernel = step_lane.build_rollout_kernel(
+      m, horizon, 2, interpret=True, contact_types=(),
+      residual_fn=spec["fn"], residual_dim=spec["dim"],
+      naux=spec["naux"])
+  res_fn = jax.jit(kernel.residual_array, static_argnames=())
+  rng = np.random.default_rng(7)
+  d0 = task.make_data()
+  h = float(jax.device_get(m.opt.timestep))
+  qpos0 = np.tile(np.asarray(jax.device_get(d0.qpos))[:, None], (1, k_c))
+  qpos0[7:] += 0.05 * rng.standard_normal((m.nq - 7, k_c))
+  qvel0 = 0.2 * rng.standard_normal((m.nv, k_c))
+  ctrl = jnp.asarray(rng.uniform(-0.5, 0.5, (m.nu, k_c)), jnp.float32)
+  aux = jnp.asarray(np.tile(np.asarray(jax.device_get(
+      spec["make_aux"](d0, task.residual_params)))[:, None], (1, k_c)),
+      jnp.float32)
+  fwd = jax.jit(lambda d: F.forward(m, d))
+  for t in (0, 2, 3):   # several steps -> several clip times
+    res = res_fn(jnp.asarray(qpos0, jnp.float32),
+                 jnp.asarray(qvel0, jnp.float32), ctrl, t, aux)
+    assert res.shape == (spec["dim"], k_c)
+    for k in range(k_c):
+      d = d0.replace(qpos=jnp.asarray(qpos0[:, k], jnp.float32),
+                     qvel=jnp.asarray(qvel0[:, k], jnp.float32),
+                     ctrl=ctrl[:, k],
+                     time=d0.time + jnp.asarray(t * h, jnp.float32))
+      ref = task.residual(m, fwd(d), task.residual_params)
+      np.testing.assert_allclose(
+          np.asarray(res[:, k]), np.asarray(ref), atol=5e-4,
+          err_msg=f"t={t} k={k}")
