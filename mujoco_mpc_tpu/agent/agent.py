@@ -113,7 +113,10 @@ class Agent:
           lane_modes = getattr(self.task, "lane_modes", None)
           mode_ok = (lane_modes is None
                      or int(self.task.mode) in lane_modes)
-          if (mode_ok and step_lane.supports(m, ground_only=True)
+          if (mode_ok and step_lane.supports(
+              m, ground_only=True,
+              body_pairs=bool(getattr(self.task, "plan_body_pairs",
+                                      False)))
               and (hasattr(self.task, "lane_residual_spec")
                    or hasattr(self.task, "residual_from_rollout"))):
             return sampling_lane.LaneSamplingPlanner(self.task)

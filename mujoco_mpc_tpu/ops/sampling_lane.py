@@ -47,7 +47,9 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   rollouts across CPU threads; here across chips.
   """
   m = getattr(task, "plan_model", task.model)
-  assert step_lane.supports(m, ground_only=True), \
+  assert step_lane.supports(
+      m, ground_only=True,
+      body_pairs=bool(getattr(task, "plan_body_pairs", False))), \
       "model outside the lane kernel class"
   assert config.interp == spline_lib.Interpolation.ZERO
   if hasattr(task, "lane_residual_spec"):
@@ -74,6 +76,7 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   # (nterm, K) — small enough for full-VPU-tile folded candidate blocks.
   # Risk-sensitive costs need the per-step transform and keep the
   # residual-row output.
+  body_pairs = bool(getattr(task, "plan_body_pairs", False))
   risk0 = abs(float(jax.device_get(task.cost_spec.risk))) < 1e-6
   cost_terms = None
   if spec is not None and risk0:
@@ -89,12 +92,13 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
         solver_ls_iters=solver_ls_iters, residual_fn=spec["fn"],
         residual_dim=spec["dim"], naux=spec["naux"],
         record_states=False, contact_geoms=contact_geoms,
-        cost_terms=cost_terms)
+        cost_terms=cost_terms, body_pairs=body_pairs)
   else:
     kernel = step_lane.build_rollout_kernel(
         m, horizon, p, interpret=interpret, unroll=unroll,
         contact_types=contact_types, solver_iters=solver_iters,
-        solver_ls_iters=solver_ls_iters, contact_geoms=contact_geoms)
+        solver_ls_iters=solver_ls_iters, contact_geoms=contact_geoms,
+        body_pairs=body_pairs)
   h = float(jax.device_get(m.opt.timestep))
   node_of = np.array([min(int(t * p / max(horizon - 1, 1)), p - 1)
                       for t in range(horizon)])

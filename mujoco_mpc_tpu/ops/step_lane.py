@@ -62,17 +62,20 @@ def _nonground_count(m: Model) -> int:
   return total
 
 
-def supports(m: Model, ground_only: bool = False) -> bool:
+def supports(m: Model, ground_only: bool = False,
+             body_pairs: bool = False) -> bool:
   """Model class the kernel handles. With ground_only=True, non-ground
   candidate pairs (e.g. self-collisions) are DROPPED from the kernel's
-  planning dynamics — a deliberate planning-model approximation."""
+  planning dynamics — a deliberate planning-model approximation. With
+  body_pairs=True, sphere/capsule/box body-body pairs are handled
+  in-kernel instead of dropped (hand manipulation models)."""
   jt = set(int(t) for t in m.jnt_type)
   if not jt <= {HINGE, SLIDE, FREE}:
     return False
   if m.collision_pairs is not None and m.collision_pairs.ncon > 0:
     if not ground_only:
       return False
-    if not _ground_groups(m):
+    if not _ground_groups(m) and not body_pairs:
       return False
   if m.neq or m.na:
     return False
@@ -160,6 +163,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                          record_states: bool = True,
                          contact_geoms=None,
                          cost_terms=None,
+                         body_pairs: bool = False,
                          profile_phase: str = None) -> Callable:
   """Returns fn(qpos0 (nq,K), qvel0 (nv,K), values (P*nu, K)) ->
   states (horizon, nq+nv, K) for a zero-order-hold spline with
@@ -692,6 +696,187 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                   pt = lm.vsub(cw, lm.vscale(
                       lm.const_vec3(n_pl, like), 0.5 * dist))
                   add_contact(bid, pt, dist, n_pl, ci)
+
+      # ---- body-body contacts (opt-in): dynamic contact frame, both
+      # bodies' Jacobians. Types: sphere-sphere, sphere-capsule,
+      # capsule-capsule, sphere-box, capsule-box (ends-as-spheres).
+      # The whole narrowphase is component math on quantities already
+      # in VMEM — this is what puts hand manipulation tasks (Rubik,
+      # Allegro) on the lane fast path.
+      def vnorm(v):
+        return jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2] + 1e-18)
+
+      def vnormalize(v):
+        n_ = vnorm(v)
+        return (v[0] / n_, v[1] / n_, v[2] / n_), n_
+
+      def qconj_rot(q, v):
+        return lm.qrot((q[0], -q[1], -q[2], -q[3]), v)
+
+      def add_contact2(b1, b2, pt, dist, nrm, ci):
+        """Pyramidal rows for one contact between bodies b1 -> b2 with
+        a TRACED normal (pointing from geom1 to geom2)."""
+        fri = cp.con_friction[ci]
+        solref_c = cp.con_solref[ci]
+        solimp_c = cp.con_solimp[ci]
+        incm = float(cp.con_includemargin[ci])
+        invw = (c["body_invweight0"][b1][0] +
+                c["body_invweight0"][b2][0])
+        gap = dist - incm
+        # dynamic frame: e least aligned with n, per candidate
+        cond = (jnp.abs(nrm[0]) < 0.5).astype(like.dtype)
+        e = (cond, 1.0 - cond, like * 0.0)
+        t1, _ = vnormalize(lm.vcross(nrm, e))
+        t2 = lm.vcross(nrm, t1)
+        dirs = [nrm, t1, t2]
+        sup = [i for i in range(nv)
+               if m.body_dof_mask[b1][i] > 0 or m.body_dof_mask[b2][i] > 0]
+        jdir = []
+        for dvec in dirs:
+          row = [None] * nv
+          for i in sup:
+            acc_d = None
+            for bb, sgn in ((b2, 1.0), (b1, -1.0)):
+              if m.body_dof_mask[bb][i] > 0:
+                w2, v2 = cdof[i]
+                jp = lm.vadd(v2, lm.vcross(w2, lm.vsub(pt, ref[bb])))
+                term = sgn * lm.vdot(jp, dvec)
+                acc_d = term if acc_d is None else acc_d + term
+            row[i] = acc_d
+          jdir.append(row)
+
+        def pvel(bb):
+          w, v = cvel[bb]
+          return lm.vadd(v, lm.vcross(w, lm.vsub(pt, ref[bb])))
+
+        pv = lm.vsub(pvel(b2), pvel(b1))
+        vdirs = [lm.vdot(pv, d_) for d_ in dirs]
+        mu = [float(fri[0]), float(fri[1])]
+        for fd in range(2):
+          for sign in (1.0, -1.0):
+            jrow = [None] * nv
+            for i in sup:
+              jrow[i] = jdir[0][i] + sign * mu[fd] * jdir[1 + fd][i]
+            jv = vdirs[0] + sign * mu[fd] * vdirs[1 + fd]
+            iw = float(invw) * 2.0 * mu[fd] * mu[fd] * \
+                (1.0 + mu[fd] * mu[fd])
+            aref, dcoef = kbi(gap, jv, solref_c, solimp_c, max(iw, 1e-12))
+            rows.append((jrow, aref, dcoef))
+
+      def sphere_point_contact(c1, r1, c2, r2, b1, b2, ci):
+        d_ = lm.vsub(c2, c1)
+        n_, dn = vnormalize(d_)
+        dist = dn - r1 - r2
+        pt = lm.vadd(c1, lm.vscale(n_, r1 + 0.5 * dist))
+        add_contact2(b1, b2, pt, dist, n_, ci)
+
+      def seg_closest(a0, ax, hl, p):
+        """Closest point to p on segment center a0, axis ax, half len."""
+        t = lm.vdot(lm.vsub(p, a0), ax)
+        t = jnp.clip(t, -hl, hl)
+        return lm.vadd(a0, lm.vscale(ax, t))
+
+      def sphere_box_contact(cen, r0, b_pos, b_quat, b_size, b1, b2,
+                             ci, flip):
+        """Sphere (cen, r0, body b1) vs box (body b2); flip swaps the
+        normal convention when the sphere is geom2."""
+        loc = qconj_rot(b_quat, lm.vsub(cen, b_pos))
+        sx, sy, sz = [float(b_size[k]) for k in range(3)]
+        cl = (jnp.clip(loc[0], -sx, sx), jnp.clip(loc[1], -sy, sy),
+              jnp.clip(loc[2], -sz, sz))
+        dvec = lm.vsub(loc, cl)
+        dn = vnorm(dvec)
+        outside = dn > 1e-9
+        n_out = (dvec[0] / dn, dvec[1] / dn, dvec[2] / dn)
+        # inside: push toward the nearest face
+        fd = [sx - jnp.abs(loc[0]), sy - jnp.abs(loc[1]),
+              sz - jnp.abs(loc[2])]
+        m01 = fd[0] < fd[1]
+        m02 = jnp.minimum(fd[0], fd[1]) < fd[2]
+        sgn = [jnp.where(loc[k] >= 0, 1.0, -1.0) for k in range(3)]
+        n_in = (jnp.where(m01 & m02, sgn[0], 0.0),
+                jnp.where((~m01) & m02, sgn[1], 0.0),
+                jnp.where(~m02, sgn[2], 0.0))
+        depth = jnp.where(m02, jnp.where(m01, fd[0], fd[1]), fd[2])
+        n_loc = tuple(jnp.where(outside, n_out[k], n_in[k])
+                      for k in range(3))
+        dist_l = jnp.where(outside, dn, -depth)
+        cp_loc = tuple(jnp.where(outside, cl[k],
+                                 jnp.where(n_in[k] != 0,
+                                           sgn[k] * (sx, sy, sz)[k],
+                                           loc[k])) for k in range(3))
+        n_w = lm.qrot(b_quat, n_loc)     # points from box toward sphere
+        cp_w = lm.vadd(b_pos, lm.qrot(b_quat, cp_loc))
+        dist = dist_l - r0
+        pt = lm.vadd(cp_w, lm.vscale(n_w, 0.5 * dist))
+        if flip:
+          add_contact2(b1, b2, pt, dist,
+                       (n_w[0], n_w[1], n_w[2]), ci)
+        else:
+          add_contact2(b1, b2, pt, dist,
+                       (-n_w[0], -n_w[1], -n_w[2]), ci)
+
+      _BODY_TYPES = {
+          (coll.SPHERE, coll.SPHERE), (coll.SPHERE, coll.CAPSULE),
+          (coll.CAPSULE, coll.CAPSULE), (coll.SPHERE, coll.BOX),
+          (coll.CAPSULE, coll.BOX)}
+      if body_pairs and cp is not None:
+        ground_set = set()
+        for g in _ground_groups(m):
+          for a_, b_ in zip(g.geom1, g.geom2):
+            ground_set.add((int(a_), int(b_)))
+        for g in cp.groups:
+          if g.types not in _BODY_TYPES:
+            continue
+          for pi in range(g.count):
+            g1, g2 = int(g.geom1[pi]), int(g.geom2[pi])
+            if (g1, g2) in ground_set:
+              continue
+            if contact_geoms is not None and not (
+                g1 in contact_geoms and g2 in contact_geoms):
+              continue
+            ci = meta[(g1, g2)]
+            b1 = int(m.geom_bodyid[g1])
+            b2 = int(m.geom_bodyid[g2])
+            p1g, q1g = geom_world(g1, b1)
+            p2g, q2g = geom_world(g2, b2)
+            s1 = c["geom_size"][g1]
+            s2 = c["geom_size"][g2]
+            t1_, t2_ = g.types
+            if (t1_, t2_) == (coll.SPHERE, coll.SPHERE):
+              sphere_point_contact(p1g, float(s1[0]), p2g, float(s2[0]),
+                                   b1, b2, ci)
+            elif (t1_, t2_) == (coll.SPHERE, coll.CAPSULE):
+              ax = lm.qrot(q2g, cv([0, 0, 1.0]))
+              cp2 = seg_closest(p2g, ax, float(s2[1]), p1g)
+              sphere_point_contact(p1g, float(s1[0]), cp2, float(s2[0]),
+                                   b1, b2, ci)
+            elif (t1_, t2_) == (coll.CAPSULE, coll.CAPSULE):
+              ax1 = lm.qrot(q1g, cv([0, 0, 1.0]))
+              ax2 = lm.qrot(q2g, cv([0, 0, 1.0]))
+              # closest points between segments (clamped 2x2 solve)
+              r_ = lm.vsub(p2g, p1g)
+              a_d = lm.vdot(ax1, ax2)
+              s1d = lm.vdot(ax1, r_)
+              s2d = lm.vdot(ax2, r_)
+              den = jnp.maximum(1.0 - a_d * a_d, 1e-9)
+              h1, h2 = float(s1[1]), float(s2[1])
+              t1s = jnp.clip((s1d - a_d * s2d) / den, -h1, h1)
+              t2s = jnp.clip(a_d * t1s - s2d, -h2, h2)
+              t1s = jnp.clip(a_d * t2s + s1d, -h1, h1)
+              pa = lm.vadd(p1g, lm.vscale(ax1, t1s))
+              pb = lm.vadd(p2g, lm.vscale(ax2, t2s))
+              sphere_point_contact(pa, float(s1[0]), pb, float(s2[0]),
+                                   b1, b2, ci)
+            elif (t1_, t2_) == (coll.SPHERE, coll.BOX):
+              sphere_box_contact(p1g, float(s1[0]), p2g, q2g, s2,
+                                 b1, b2, ci, flip=False)
+            elif (t1_, t2_) == (coll.CAPSULE, coll.BOX):
+              ax = lm.qrot(q1g, cv([0, 0, 1.0]))
+              for sgn_e in (1.0, -1.0):
+                end = lm.vadd(p1g, lm.vscale(ax, sgn_e * float(s1[1])))
+                sphere_box_contact(end, float(s1[0]), p2g, q2g, s2,
+                                   b1, b2, ci, flip=False)
 
     # ---- support-grouped packed-row Newton constraint solve ----
     # Rows are grouped by their STATIC dof-support pattern (a joint-limit

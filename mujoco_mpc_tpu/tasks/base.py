@@ -67,14 +67,28 @@ class Task:
     self.model = model_lib.put_model(self.mjm, dtype=dtype)
     # planning model: the reference overrides timestep/integrator for the
     # planner's internal model (agent_timestep / agent_integrator custom
-    # numerics, agent.cc:274-276); physics stepping keeps the sim model
-    self.plan_model = self.model
+    # numerics, agent.cc:274-276); physics stepping keeps the sim model.
+    # Tasks may additionally supply a REDUCED planning geometry via
+    # plan_xml() (same state/actuation dims, simplified collision) — the
+    # reference ships separate plan vs simulate models for exactly this
+    # (mjpc/tasks/*/task.xml vs the GUI model).
+    plan_xml = self.plan_xml()
+    if plan_xml is not None and model_override is None:
+      import mujoco as _mj
+      mjm_plan = _mj.MjModel.from_xml_string(plan_xml, self.assets())
+      self.prepare_mjm(mjm_plan)
+      assert (mjm_plan.nq, mjm_plan.nv, mjm_plan.nu, mjm_plan.na) == \
+          (self.mjm.nq, self.mjm.nv, self.mjm.nu, self.mjm.na), \
+          "plan model must match the sim model's state/actuation dims"
+      self.plan_model = model_lib.put_model(mjm_plan, dtype=dtype)
+    else:
+      self.plan_model = self.model
     agent_dt = cost_spec_lib.get_number_or_default(
         self.mjm, "agent_timestep", 0.0)
     if agent_dt > 0 and abs(agent_dt - float(self.mjm.opt.timestep)) > 1e-12:
       import jax.numpy as _jnp
-      self.plan_model = self.model.replace(
-          opt=self.model.opt.replace(
+      self.plan_model = self.plan_model.replace(
+          opt=self.plan_model.opt.replace(
               timestep=_jnp.asarray(agent_dt, dtype)))
     agent_integrator = cost_spec_lib.get_number_or_default(
         self.mjm, "agent_integrator", -1.0)
@@ -136,6 +150,11 @@ class Task:
   def prepare_mjm(self, mjm):
     """Fill procedural asset data (hfield grids, mocap clips) on the raw
     MjModel before it is converted for the device. Default: no-op."""
+
+  def plan_xml(self) -> Optional[str]:
+    """Optional reduced planning-geometry MJCF (same nq/nv/nu/na as
+    xml()); None = plan on the simulation model."""
+    return None
 
   def residual(self, m: model_lib.Model, d: model_lib.Data,
                params: jax.Array) -> jax.Array:

@@ -163,6 +163,19 @@ class Rubik(base.Task):
   """Scramble-then-solve face turning with a goal-stack mode machine."""
 
   name = "Rubik"
+  # lane kernel: hand-cube contacts run in-kernel (capsule-capsule,
+  # capsule-box body pairs); the palm box becomes a plane in the
+  # reduced planning model (plan_xml) so cube support uses the cheap
+  # static-plane path — the reference ships reduced plan models the
+  # same way
+  plan_body_pairs = True
+
+  def plan_xml(self) -> str:
+    return _XML.replace(
+        '<geom name="palm" type="box" pos="0 0 0" size="0.1 0.1 0.015"\n'
+        '          friction="0.8 0.01 0.001"/>',
+        '<geom name="palm" type="plane" pos="0 0 0.015" size="0.2 0.2 0.01"\n'
+        '          friction="0.8 0.01 0.001"/>')
 
   def __init__(self, **kw):
     super().__init__(**kw)
@@ -207,6 +220,60 @@ class Rubik(base.Task):
     return jnp.concatenate([
         position, orientation, linvel, actuation, faces, grasp,
         joint_vel, remaining[None]])
+
+  def lane_residual_spec(self):
+    """In-kernel residual (ops/step_lane.py component form): same rows
+    as residual(); the goal quaternion, face goals, mode gate, and
+    remaining-goal scalar ride aux rows so Scramble/Solve transitions
+    never recompile."""
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    palm_p = [float(v) for v in site_pos[self._palm_site]]
+    home_hand = [float(v) for v in np.asarray(g(self._home_hand))]
+    cube_b = self._cube_body
+    qa_c, da_c = self._cube_qadr, self._cube_dadr
+    qa_f = self._face_qadr
+    nu = m.nu
+
+    def fn(ctx):
+      lm, cv = ctx["lm"], ctx["cv"]
+      qpos, qvel, aux = ctx["qpos"], ctx["qvel"], ctx["aux"]
+      xpos, xquat = ctx["xpos"], ctx["xquat"]
+      rows = [xpos[cube_b][k] - palm_p[k] for k in range(3)]
+      # orientation: mju_subQuat(goal, cube) tangent (physics/math.py
+      # quat_sub) in component form
+      gq = (aux[0], aux[1], aux[2], aux[3])
+      cq = xquat[cube_b]
+      # quat_sub(goal, cube) = log(cube^-1 * goal)
+      qd = lm.qmul((cq[0], -cq[1], -cq[2], -cq[3]), gq)
+      sgn = jnp.where(qd[0] < 0, -1.0, 1.0)
+      qd = tuple(sgn * q for q in qd)
+      sin_half = jnp.sqrt(qd[1] ** 2 + qd[2] ** 2 + qd[3] ** 2 + 1e-18)
+      angle = 2.0 * jnp.arctan2(sin_half, qd[0])
+      scale = angle / jnp.maximum(sin_half, 1e-12)
+      rows += [qd[1 + k] * scale for k in range(3)]
+      rows += [qvel[da_c + k] for k in range(3)]
+      rows += list(ctx["act_force"])
+      active = aux[10]
+      rows += [active * (qpos[qa_f + i] - aux[4 + i]) for i in range(6)]
+      rows += [qpos[i] - home_hand[i] for i in range(9)]
+      rows += [qvel[i] for i in range(9)]
+      rows.append(aux[11] + 0.0 * qpos[0])
+      return rows
+
+    def make_aux(d0, params):
+      from mujoco_mpc_tpu.physics import math as mm
+      gq = mm.normalize_quat(d0.mocap_quat[0])
+      mode = params[S_MODE]
+      active = ((mode == MODE_MANUAL) | (mode == MODE_SOLVE)).astype(
+          gq.dtype)
+      remaining = params[S_GOAL_INDEX] * 12.0
+      return jnp.concatenate([
+          gq, params[P_FACES:P_FACES + 6], active[None], remaining[None]])
+
+    return dict(dim=3 + 3 + 3 + nu + 6 + 9 + 9 + 1, naux=12, fn=fn,
+                make_aux=make_aux)
 
   def transition(self, d: Data) -> Data:
     """Goal-stack mode machine (solve.cc:140-246)."""

@@ -336,3 +336,89 @@ def test_lane_kernel_tracking_residual_matches_pipeline():
       np.testing.assert_allclose(
           np.asarray(res[:, k]), np.asarray(ref), atol=5e-4,
           err_msg=f"t={t} k={k}")
+
+
+def test_lane_kernel_rubik_residual_matches_pipeline():
+  """Rubik lane spec rows (goal quat / face goals / mode gate on aux)
+  match the pipeline residual."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Rubik")
+  m = task.plan_model
+  spec = task.lane_residual_spec()
+  k_c = 4
+  kernel = step_lane.build_rollout_kernel(
+      m, 2, 2, interpret=True, contact_types=(),
+      residual_fn=spec["fn"], residual_dim=spec["dim"],
+      naux=spec["naux"])
+  rng = np.random.default_rng(11)
+  d0 = task.make_data()
+  # scrambled-ish state: faces turned, cube nudged + rotated
+  qpos0 = np.tile(np.asarray(jax.device_get(d0.qpos))[:, None], (1, k_c))
+  qpos0[:9] += 0.1 * rng.standard_normal((9, k_c))
+  qpos0[9:12] += 0.01 * rng.standard_normal((3, k_c))
+  qq = qpos0[12:16] + 0.2 * rng.standard_normal((4, k_c))
+  qpos0[12:16] = qq / np.linalg.norm(qq, axis=0, keepdims=True)
+  qpos0[16:] += 0.5 * rng.standard_normal((6, k_c))
+  qvel0 = 0.3 * rng.standard_normal((m.nv, k_c))
+  ctrl = jnp.asarray(rng.uniform(-0.3, 0.3, (m.nu, k_c)), jnp.float32)
+  # exercise the Solve gate: nonzero face goals + active mode
+  import mujoco_mpc_tpu.tasks.rubik as RB
+  p = np.asarray(jax.device_get(task.residual_params)).copy()
+  p[RB.P_FACES:RB.P_FACES + 6] = rng.standard_normal(6)
+  p[RB.S_MODE] = RB.MODE_SOLVE
+  p[RB.S_GOAL_INDEX] = 2
+  params = jnp.asarray(p, jnp.float32)
+  aux = jnp.asarray(np.tile(np.asarray(jax.device_get(
+      spec["make_aux"](d0, params)))[:, None], (1, k_c)), jnp.float32)
+  res = jax.jit(kernel.residual_array)(
+      jnp.asarray(qpos0, jnp.float32), jnp.asarray(qvel0, jnp.float32),
+      ctrl, 0, aux)
+  fwd = jax.jit(lambda d: F.forward(m, d))
+  for k in range(k_c):
+    d = d0.replace(qpos=jnp.asarray(qpos0[:, k], jnp.float32),
+                   qvel=jnp.asarray(qvel0[:, k], jnp.float32),
+                   ctrl=ctrl[:, k])
+    ref = task.residual(m, fwd(d), params)
+    np.testing.assert_allclose(np.asarray(res[:, k]), np.asarray(ref),
+                               atol=5e-4, err_msg=f"k={k}")
+
+
+def test_lane_kernel_body_contacts_match_pipeline():
+  """Body-body contacts in-kernel (hand-cube capsule/box pairs on the
+  Rubik plan model): a kernel step from contact-rich states matches the
+  jnp pipeline step."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Rubik")
+  m = task.plan_model
+  assert step_lane.supports(m, ground_only=True, body_pairs=True)
+  kernel = step_lane.build_rollout_kernel(
+      m, 2, 2, interpret=True, body_pairs=True)
+  rng = np.random.default_rng(13)
+  d0 = task.make_data()
+  k_c = 4
+  # home pose (fingers touching the cube) + small perturbations
+  qpos0 = np.tile(np.asarray(jax.device_get(d0.qpos))[:, None], (1, k_c))
+  qpos0[:9, 1:] += 0.08 * rng.standard_normal((9, k_c - 1))
+  qpos0[9:12, 1:] += 0.004 * rng.standard_normal((3, k_c - 1))
+  qvel0 = 0.1 * rng.standard_normal((m.nv, k_c))
+  ctrl = jnp.asarray(rng.uniform(-0.3, 0.3, (m.nu, k_c)), jnp.float32)
+  out = jax.jit(kernel.step_array)(
+      jnp.asarray(qpos0, jnp.float32), jnp.asarray(qvel0, jnp.float32),
+      ctrl)
+  qp_k, qv_k = np.asarray(out[0]), np.asarray(out[1])
+  step = jax.jit(lambda d: F.step(m, d))
+  for k in range(k_c):
+    d = d0.replace(qpos=jnp.asarray(qpos0[:, k], jnp.float32),
+                   qvel=jnp.asarray(qvel0[:, k], jnp.float32),
+                   ctrl=ctrl[:, k])
+    dn = step(d)
+    np.testing.assert_allclose(qp_k[:, k], np.asarray(dn.qpos),
+                               atol=2e-3, err_msg=f"qpos k={k}")
+    np.testing.assert_allclose(qv_k[:, k], np.asarray(dn.qvel),
+                               atol=5e-2, err_msg=f"qvel k={k}")
