@@ -145,3 +145,20 @@ def chol_solve_sym(a_rows, b):
       s = s - l[k][i] * x[k]
     x[i] = s / l[i][i]
   return x
+
+
+def atan2_nonneg(s, c):
+  """atan2(s, c) for s, c >= 0 (result in [0, pi/2]).
+
+  Pallas TPU has no inverse-trig lowering; range-reduce to [0, 1] and
+  use the Hastings atan polynomial (max error ~1e-4 rad) — plenty for
+  orientation residuals scored against ~0.1-rad-scale norms.
+  """
+  import jax.numpy as jnp
+  lo = jnp.minimum(s, c)
+  hi = jnp.maximum(s, c)
+  x = lo / jnp.maximum(hi, 1e-12)
+  x2 = x * x
+  at = x * (0.9998660 + x2 * (-0.3302995 + x2 * (0.1801410
+            + x2 * (-0.0851330))))
+  return jnp.where(s <= c, at, jnp.pi / 2 - at)

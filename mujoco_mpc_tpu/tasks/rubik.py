@@ -250,7 +250,9 @@ class Rubik(base.Task):
       sgn = jnp.where(qd[0] < 0, -1.0, 1.0)
       qd = tuple(sgn * q for q in qd)
       sin_half = jnp.sqrt(qd[1] ** 2 + qd[2] ** 2 + qd[3] ** 2 + 1e-18)
-      angle = 2.0 * jnp.arctan2(sin_half, qd[0])
+      # Pallas TPU has no atan2; qd[0] >= 0 after the sign fix so the
+      # nonneg-quadrant polynomial applies (lanemath.atan2_nonneg)
+      angle = 2.0 * lm.atan2_nonneg(sin_half, jnp.maximum(qd[0], 0.0))
       scale = angle / jnp.maximum(sin_half, 1e-12)
       rows += [qd[1 + k] * scale for k in range(3)]
       rows += [qvel[da_c + k] for k in range(3)]
