@@ -142,6 +142,54 @@ class Allegro(base.Task):
   """Reorient the cube to the goal mocap pose with a 16-DoF hand."""
 
   name = "Allegro"
+  # lane kernel: finger-cube capsule-box contacts in-kernel; the palm
+  # box becomes a plane in the reduced plan model (Task.plan_xml)
+  plan_body_pairs = True
+
+  def plan_xml(self) -> str:
+    return _XML.replace(
+        '<geom name="palm" type="box" pos="0 0 0" size="0.05 0.065 0.015"\n'
+        '          friction="0.8 0.01 0.001"/>',
+        '<geom name="palm" type="plane" pos="0 0 0.015" '
+        'size="0.2 0.2 0.01"\n          friction="0.8 0.01 0.001"/>')
+
+  def lane_residual_spec(self):
+    """In-kernel residual: goal pose on aux rows (live mocap updates
+    never recompile)."""
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    home = [float(v) for v in np.asarray(g(self._home_joints))]
+    cube_b = self._cube_body
+    da_c = self._cube_dadr
+    nu = m.nu
+
+    def fn(ctx):
+      lm = ctx["lm"]
+      qpos, qvel, aux = ctx["qpos"], ctx["qvel"], ctx["aux"]
+      xpos, xquat = ctx["xpos"], ctx["xquat"]
+      rows = [xpos[cube_b][k] - aux[k] for k in range(3)]
+      gq = (aux[3], aux[4], aux[5], aux[6])
+      cq = xquat[cube_b]
+      qd = lm.qmul((cq[0], -cq[1], -cq[2], -cq[3]), gq)
+      sgn = jnp.where(qd[0] < 0, -1.0, 1.0)
+      qd = tuple(sgn * q for q in qd)
+      sin_half = jnp.sqrt(qd[1] ** 2 + qd[2] ** 2 + qd[3] ** 2 + 1e-18)
+      angle = 2.0 * lm.atan2_nonneg(sin_half, jnp.maximum(qd[0], 0.0))
+      scale = angle / jnp.maximum(sin_half, 1e-12)
+      rows += [qd[1 + k] * scale for k in range(3)]
+      rows += [qvel[da_c + k] for k in range(3)]
+      rows += list(ctx["act_force"])
+      rows += [qpos[i] - home[i] for i in range(16)]
+      rows += [qvel[i] for i in range(16)]
+      return rows
+
+    def make_aux(d0, params):
+      from mujoco_mpc_tpu.physics import math as mm2
+      return jnp.concatenate([
+          d0.mocap_pos[0], mm2.normalize_quat(d0.mocap_quat[0])])
+
+    return dict(dim=3 + 3 + 3 + nu + 16 + 16, naux=7, fn=fn,
+                make_aux=make_aux)
 
   def __init__(self, **kw):
     super().__init__(**kw)

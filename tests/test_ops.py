@@ -422,3 +422,43 @@ def test_lane_kernel_body_contacts_match_pipeline():
                                atol=2e-3, err_msg=f"qpos k={k}")
     np.testing.assert_allclose(qv_k[:, k], np.asarray(dn.qvel),
                                atol=5e-2, err_msg=f"qvel k={k}")
+
+
+def test_lane_kernel_allegro_residual_matches_pipeline():
+  """Allegro lane spec rows (goal pose on aux) match the pipeline
+  residual."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Allegro")
+  m = task.plan_model
+  assert step_lane.supports(m, ground_only=True, body_pairs=True)
+  spec = task.lane_residual_spec()
+  k_c = 3
+  kernel = step_lane.build_rollout_kernel(
+      m, 2, 2, interpret=True, contact_types=(),
+      residual_fn=spec["fn"], residual_dim=spec["dim"],
+      naux=spec["naux"])
+  rng = np.random.default_rng(17)
+  d0 = task.make_data()
+  qpos0 = np.tile(np.asarray(jax.device_get(d0.qpos))[:, None], (1, k_c))
+  qpos0[:16] += 0.1 * rng.standard_normal((16, k_c))
+  qq = qpos0[19:23] + 0.2 * rng.standard_normal((4, k_c))
+  qpos0[19:23] = qq / np.linalg.norm(qq, axis=0, keepdims=True)
+  qvel0 = 0.2 * rng.standard_normal((m.nv, k_c))
+  ctrl = jnp.asarray(rng.uniform(-0.3, 0.3, (m.nu, k_c)), jnp.float32)
+  aux = jnp.asarray(np.tile(np.asarray(jax.device_get(
+      spec["make_aux"](d0, task.residual_params)))[:, None], (1, k_c)),
+      jnp.float32)
+  res = jax.jit(kernel.residual_array)(
+      jnp.asarray(qpos0, jnp.float32), jnp.asarray(qvel0, jnp.float32),
+      ctrl, 0, aux)
+  fwd = jax.jit(lambda d: F.forward(m, d))
+  for k in range(k_c):
+    d = d0.replace(qpos=jnp.asarray(qpos0[:, k], jnp.float32),
+                   qvel=jnp.asarray(qvel0[:, k], jnp.float32),
+                   ctrl=ctrl[:, k])
+    ref = task.residual(m, fwd(d), task.residual_params)
+    np.testing.assert_allclose(np.asarray(res[:, k]), np.asarray(ref),
+                               atol=5e-4, err_msg=f"k={k}")
