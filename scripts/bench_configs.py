@@ -103,7 +103,7 @@ def main():
   bench_ilqg("Walker", horizon=32)                        # config 2b
   bench_sampling("Quadruped Flat", k=4096, horizon=36)    # config 3
   bench_sampling("Humanoid Track", k=512, horizon=25)     # config 4
-  bench_sampling("Rubik", k=512, horizon=16, lane=False)  # config 5
+  bench_sampling("Rubik", k=512, horizon=16)              # config 5
 
 
 if __name__ == "__main__":
