@@ -70,3 +70,47 @@ def test_concurrent_publish_and_sample():
     t.join()
   assert not errors, f"torn reads: {errors[:3]}"
   assert rt.version > 10
+
+
+def test_agent_runner_background_planning():
+  """AgentRunner (reference interface.cc parity): the plan thread
+  re-optimizes continuously while the control thread samples actions
+  lock-free from the native policy host."""
+  import time as _time
+  import numpy as np
+  import jax
+  import jax.numpy as jnp
+  from mujoco_mpc_tpu.agent.runner import AgentRunner
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.planners import sampling
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Cartpole")
+  config = sampling.make_config(task).replace(num_trajectory=8, horizon=20)
+  planner = sampling.SamplingPlanner(task, config)
+  runner = AgentRunner(task, planner=planner)
+
+  # the publish/sample path is exact: a known policy read back clamped
+  pol = planner.policy.replace(
+      values=jnp.full_like(planner.policy.values, 0.25))
+  runner._publish(pol)
+  np.testing.assert_allclose(runner.action(0.0), [0.25], atol=1e-6)
+
+  v0 = runner.policy_version
+  step = jax.jit(lambda d: F.step(task.model, d))
+  d = task.make_data()
+  with runner:
+    deadline = _time.time() + 120.0
+    steps = 0
+    while (runner.iterations < 4 or steps < 40) and \
+        _time.time() < deadline:
+      u = runner.action(float(d.time))
+      assert u.shape == (task.model.nu,)
+      assert np.all(np.isfinite(u))
+      d = d.replace(ctrl=jnp.asarray(u, jnp.float32))
+      d = step(d)
+      runner.set_state(qpos=d.qpos, qvel=d.qvel, time=d.time)
+      steps += 1
+  # the plan thread ran and published each iteration to the native host
+  assert runner.iterations >= 3, runner.iterations
+  assert runner.policy_version >= v0 + runner.iterations
