@@ -1035,6 +1035,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       (out_ref,) = rest
       res_ref = final_ref = sums_ref = None
       aux = None
+      aux_dyn = None
 
     def write_step(t, qpos, qvel, res):
       if record_states:
