@@ -21,11 +21,10 @@ import numpy as np
 
 from mujoco_mpc_tpu.costs import spec as spec_lib
 from mujoco_mpc_tpu.physics import forward as F
-from mujoco_mpc_tpu.planners import cross_entropy, sampling
+from mujoco_mpc_tpu.planners import base as planner_base
 from mujoco_mpc_tpu.tasks import base as task_base
 
-PLANNER_NAMES = ["Sampling", "Gradient", "iLQG", "iLQS", "Robust Sampling",
-                 "Cross Entropy", "Sample Gradient"]
+PLANNER_NAMES = planner_base.PLANNER_NAMES
 ESTIMATOR_NAMES = ["Ground Truth", "Kalman", "Unscented", "Batch"]
 
 
@@ -95,10 +94,6 @@ class Agent:
         self.m, self.data, jnp.asarray(self.estimator.state))
 
   def _make_planner(self, name: str):
-    if name in ("Sampling Lane", "Predictive Sampling Lane"):
-      # explicit opt-in to the Pallas lane-kernel fast path
-      from mujoco_mpc_tpu.ops import sampling_lane
-      return sampling_lane.LaneSamplingPlanner(self.task)
     if name in ("Sampling", "Predictive Sampling"):
       # transparently use the lane-kernel fast path on TPU when the
       # task/model qualify (in-kernel residual scoring; 20-80x the
@@ -122,25 +117,7 @@ class Agent:
             return sampling_lane.LaneSamplingPlanner(self.task)
         except Exception:
           pass  # fall back to the pipeline planner
-      return sampling.SamplingPlanner(self.task)
-    if name == "Cross Entropy":
-      return cross_entropy.CrossEntropyPlanner(self.task)
-    from mujoco_mpc_tpu.planners import gradient as gradient_lib
-    from mujoco_mpc_tpu.planners import ilqg as ilqg_lib
-    from mujoco_mpc_tpu.planners import robust as robust_lib
-    from mujoco_mpc_tpu.planners import sample_gradient as sg_lib
-    if name == "Gradient":
-      return gradient_lib.GradientPlanner(self.task)
-    if name == "iLQG":
-      return ilqg_lib.ILQGPlanner(self.task)
-    if name == "Robust Sampling":
-      return robust_lib.RobustPlanner(self.task)
-    if name == "Sample Gradient":
-      return sg_lib.SampleGradientPlanner(self.task)
-    if name == "iLQS":
-      from mujoco_mpc_tpu.planners import ilqs as ilqs_lib
-      return ilqs_lib.ILQSPlanner(self.task)
-    raise ValueError(f"unknown planner {name}")
+    return planner_base.make_planner(self.task, name)
 
   # -- control loop ----------------------------------------------------------
 

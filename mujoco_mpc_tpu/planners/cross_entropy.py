@@ -150,6 +150,7 @@ class CrossEntropyPlanner:
     self.state, info = self._optimize(key, d0, self.state,
                                       self.task.residual_params,
                                       self.task.cost_spec)
+    self.last_info = info
     return info
 
   @property

@@ -63,12 +63,14 @@ class ILQSPlanner:
       self.sampler.policy = pol.replace(values=fitted)
     else:
       self.active = "sampling"
-    return {
+    info = {
         "best_return": min(s_ret, i_ret),
         "sampling_return": s_ret,
         "ilqg_return": i_ret,
         "active": self.active,
     }
+    self.last_info = info
+    return info
 
   @property
   def policy(self):

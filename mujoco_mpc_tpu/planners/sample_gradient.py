@@ -146,6 +146,9 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
     winner = jnp.argmin(all_rets)
     new_policy = policy.replace(values=all_vals[winner])
     info = {
+        # ranked-planner contract (planners/base.py): per-candidate
+        # returns, candidate 0 = noiseless nominal
+        "returns": all_rets,
         "best_return": all_rets[winner],
         "nominal_return": noisy_rets[0],
         "winner": winner,
@@ -174,6 +177,7 @@ class SampleGradientPlanner:
     self.state, info = self._optimize(key, d0, self.state,
                                       self.task.residual_params,
                                       self.task.cost_spec)
+    self.last_info = info
     return info
 
   @property

@@ -198,6 +198,7 @@ class SamplingPlanner:
     self.policy, info = self._optimize(key, d0, self.policy,
                                        self.task.residual_params,
                                        self.task.cost_spec)
+    self.last_info = info
     return info
 
   def action(self, time) -> jax.Array:

@@ -572,6 +572,32 @@ class QuadrupedFlat(base.Task):
     self.residual_params = jnp.asarray(p, jnp.float32)
     return d
 
+  def support_polygon(self, d: Data) -> dict:
+    """Foot support polygon + capture-point diagnostics.
+
+    Mirrors the reference's scene overlay (quadruped.cc:466-512): 2D
+    convex hull of the foot positions (Hull2D, utilities.h:275), the
+    capture point com_xy + sqrt(2 h/g)·comvel_xy, and its nearest point
+    inside the hull (NearestInHull). Host-side numpy diagnostic.
+    """
+    from mujoco_mpc_tpu.utils import geometry
+    m = self.model
+    foot = np.asarray(jax.device_get(
+        d.geom_xpos[jnp.array(self._feet_geoms)]))[:, :2]
+    hull = geometry.hull2d(foot)
+    trunk = self._trunk
+    compos = np.asarray(jax.device_get(d.subtree_com[trunk]))
+    comvel = np.asarray(jax.device_get(
+        sensors.subtree_linvel(m, d, trunk)))
+    is_biped = self.mode == MODE_BIPED
+    height_goal = HEIGHT_BIPED if is_biped else HEIGHT_QUADRUPED
+    fall_time = float(np.sqrt(2.0 * height_goal / 9.81))
+    capture = compos[:2] + fall_time * comvel[:2]
+    projected = geometry.nearest_in_hull(capture, foot, hull)
+    return dict(foot_xy=foot, hull=hull, capture=capture,
+                projected_capture=projected,
+                inside=bool(geometry.point_in_hull(capture, foot, hull)))
+
   # ---- lane-kernel in-kernel residual (Quadruped mode) ----
 
   # the Pallas fast path scores the Quadruped-mode residual; other modes
