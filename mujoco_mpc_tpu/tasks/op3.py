@@ -247,3 +247,75 @@ class OP3(base.Task):
       p[S_MODE] = self.mode
       self.residual_params = jnp.asarray(p, jnp.float32)
     return d
+
+  # ---- lane-kernel in-kernel residual (Stand mode) ----
+
+  # handstand runs on the XLA pipeline planner
+  lane_modes = (MODE_STAND,)
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py (component form), Stand
+    branch of residual() above row for row (pattern:
+    tasks/humanoid.py lane_residual_spec)."""
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    body_mass = np.asarray(g(m.body_mass))
+    torso = self._torso
+    head_b = int(site_bodyid[self._head])
+    head_p = [float(v) for v in site_pos[self._head]]
+    feet_s = [(int(site_bodyid[self._foot_s[s]]),
+               [float(v) for v in site_pos[self._foot_s[s]]])
+              for s in "rl"]
+    foot_bodies = [self._foot["r"], self._foot["l"]]
+    # torso is the root body: its subtree is every non-world body
+    ids = list(range(1, int(m.nbody)))
+    total_mass = max(sum(float(body_mass[b]) for b in ids), 1e-12)
+    stand_joints = [float(v)
+                    for v in np.asarray(g(self._key_joints[MODE_STAND]))]
+    nv, nu = int(m.nv), int(m.nu)
+
+    def fn(ctx):
+      lm, cv = ctx["lm"], ctx["cv"]
+      xpos, xquat, xipos = ctx["xpos"], ctx["xquat"], ctx["xipos"]
+      scom, ref, cvel = ctx["subtree_com"], ctx["ref"], ctx["cvel"]
+      aux, qvel, ctrl = ctx["aux"], ctx["qvel"], ctx["ctrl"]
+      up = lambda b: lm.qrot(xquat[b], cv([0.0, 0.0, 1.0]))
+      fps = [lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
+             for b, p in feet_s]
+      head = lm.vadd(xpos[head_b], lm.qrot(xquat[head_b], cv(head_p)))
+      # Height (stand): head z over average foot z
+      rows = [head[2] - 0.5 * (fps[0][2] + fps[1][2]) - aux[0]]
+      # Balance: |support_xy - capture_xy|
+      comvel = [0.0, 0.0, 0.0]
+      for b in ids:
+        ang_b, lin_b = cvel[b]
+        linv = lm.vadd(lin_b, lm.vcross(ang_b, lm.vsub(xipos[b], ref[b])))
+        for k in range(3):
+          comvel[k] = comvel[k] + float(body_mass[b]) * linv[k]
+      comvel = [v / total_mass for v in comvel]
+      sup = [0.5 * (fps[0][k] + fps[1][k]) for k in range(2)]
+      dx = sup[0] - (scom[torso][0] + FALL_TIME * comvel[0])
+      dy = sup[1] - (scom[torso][1] + FALL_TIME * comvel[1])
+      rows.append(jnp.sqrt(dx * dx + dy * dy))
+      # CoM xy velocity
+      rows += [comvel[0], comvel[1]]
+      # Ctrl diff vs stand keyframe joints
+      rows += [ctrl[u] - stand_joints[u] for u in range(nu)]
+      # Upright (13): feet + torso up-vectors, stand branch
+      z = [0.0, 0.0, 1.0]
+      for b in foot_bodies:
+        ub = up(b)
+        rows += [0.1 * (ub[k] - z[k]) for k in range(3)]
+      rows.append(up(torso)[2] - 1.0)
+      rows += [qvel[0] * 0.0] * 6
+      # Joint velocities
+      rows += [qvel[i] for i in range(6, nv)]
+      return rows
+
+    def make_aux(d0, params):
+      return params[0][None]
+
+    return dict(dim=4 + nu + 13 + (nv - 6), naux=1, fn=fn,
+                make_aux=make_aux)
