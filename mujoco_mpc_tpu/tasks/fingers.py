@@ -108,3 +108,52 @@ class Fingers(base.Task):
         for c, t in zip(self._corners, self._targets)
     ])
     return jnp.concatenate([reach, bring, d.ctrl])
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: fingertip reach + box
+    corner-to-target distances. Target sites sit on a mocap body (fixed
+    during a rollout) so their world positions ride aux rows."""
+    import numpy as np
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    tips = [(int(site_bodyid[s]), [float(v) for v in site_pos[s]])
+            for s in self._tips]
+    corners = [(int(site_bodyid[s]), [float(v) for v in site_pos[s]])
+               for s in self._corners]
+    obj = self._object
+    nu = int(m.nu)
+
+    def fn(ctx):
+      lm, cv, aux = ctx["lm"], ctx["cv"], ctx["aux"]
+      xpos, xquat, ctrl = ctx["xpos"], ctx["xquat"], ctx["ctrl"]
+      rows = []
+      for b, p in tips:
+        tip = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
+        rows += [tip[k] - xpos[obj][k] for k in range(3)]
+      for j, (b, p) in enumerate(corners):
+        c = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
+        dx = [c[k] - aux[3 * j + k] + 1e-9 for k in range(3)]
+        rows.append(jnp.sqrt(dx[0] * dx[0] + dx[1] * dx[1]
+                             + dx[2] * dx[2]))
+      rows += [ctrl[u] for u in range(nu)]
+      return rows
+
+    from mujoco_mpc_tpu.physics import math as mm
+    tgt_body = int(site_bodyid[self._targets[0]])
+    tgt_mocap = int(np.asarray(m.body_mocapid)[tgt_body])
+    tgt_off = [jnp.asarray(site_pos[s], jnp.float32)
+               for s in self._targets]
+
+    def make_aux(d0, params):
+      # target sites ride the mocap body: world pos from the mocap pose
+      # (make_data has no derived FK fields)
+      tp = d0.mocap_pos[tgt_mocap]
+      tq = d0.mocap_quat[tgt_mocap]
+      return jnp.concatenate(
+          [tp + mm.rot_vec_quat(tq, o.astype(tp.dtype))
+           for o in tgt_off]).astype(jnp.float32)
+
+    return dict(dim=3 * len(tips) + len(corners) + nu,
+                naux=3 * len(corners), fn=fn, make_aux=make_aux)

@@ -146,3 +146,35 @@ class Manipulation(base.Task):
     careful = jnp.linalg.norm(d.qvel[obj_dof:obj_dof + 3] + 1e-9)
     return jnp.concatenate(
         [reach, bring, careful[None], d.ctrl])
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: hand-to-object reach,
+    object-to-target bring (mocap target fixed per rollout -> aux),
+    object speed penalty, control."""
+    import numpy as np
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    hand_b = int(site_bodyid[self._hand])
+    hand_p = [float(v) for v in site_pos[self._hand]]
+    obj = self._object
+    dof = self._obj_qadr
+    nu = int(m.nu)
+
+    def fn(ctx):
+      lm, cv, aux = ctx["lm"], ctx["cv"], ctx["aux"]
+      xpos, xquat = ctx["xpos"], ctx["xquat"]
+      qvel, ctrl = ctx["qvel"], ctx["ctrl"]
+      hand = lm.vadd(xpos[hand_b], lm.qrot(xquat[hand_b], cv(hand_p)))
+      rows = [hand[k] - xpos[obj][k] for k in range(3)]
+      rows += [xpos[obj][k] - aux[k] for k in range(3)]
+      v = [qvel[dof + k] + 1e-9 for k in range(3)]
+      rows.append(jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]))
+      rows += [ctrl[u] for u in range(nu)]
+      return rows
+
+    def make_aux(d0, params):
+      return d0.mocap_pos[0].astype(jnp.float32)
+
+    return dict(dim=7 + nu, naux=3, fn=fn, make_aux=make_aux)

@@ -163,6 +163,46 @@ class Panda(base.Task):
                              d.site_xpos[self._box2] - t2])
     return jnp.concatenate([reach, bring])
 
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: reach (eeff site to box
+    geom) + bring (box keypoint sites to mocap-derived targets). The
+    mocap target pose is fixed during a rollout, so the two target
+    keypoints ride aux rows (pattern: tasks/acrobot.py)."""
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    geom_pos = np.asarray(g(m.geom_pos))
+    geom_bodyid = np.asarray(m.geom_bodyid)
+    eeff_b = int(site_bodyid[self._eeff])
+    eeff_p = [float(v) for v in site_pos[self._eeff]]
+    box_b = int(geom_bodyid[self._box_geom])
+    box_p = [float(v) for v in geom_pos[self._box_geom]]
+    kp = [(int(site_bodyid[s]), [float(v) for v in site_pos[s]])
+          for s in (self._box1, self._box2)]
+
+    def fn(ctx):
+      lm, cv, aux = ctx["lm"], ctx["cv"], ctx["aux"]
+      xpos, xquat = ctx["xpos"], ctx["xquat"]
+      hand = lm.vadd(xpos[eeff_b], lm.qrot(xquat[eeff_b], cv(eeff_p)))
+      box = lm.vadd(xpos[box_b], lm.qrot(xquat[box_b], cv(box_p)))
+      rows = [hand[k] - box[k] for k in range(3)]
+      for j, (b, p) in enumerate(kp):
+        s = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
+        rows += [s[k] - aux[3 * j + k] for k in range(3)]
+      return rows
+
+    def make_aux(d0, params):
+      tpos = d0.mocap_pos[0]
+      tquat = d0.mocap_quat[0]
+      t1 = tpos + mm.rot_vec_quat(tquat, jnp.asarray(self._kp1,
+                                                     tpos.dtype))
+      t2 = tpos + mm.rot_vec_quat(tquat, jnp.asarray(self._kp2,
+                                                     tpos.dtype))
+      return jnp.concatenate([t1, t2]).astype(jnp.float32)
+
+    return dict(dim=9, naux=6, fn=fn, make_aux=make_aux)
+
   def transition(self, d: Data) -> Data:
     """On success (< 15 mm avg keypoint error), teleport the box and
     re-randomize the target pose (reference panda.cc:74-98)."""

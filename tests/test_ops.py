@@ -338,6 +338,59 @@ def test_lane_kernel_op3_residual_matches_pipeline():
                                atol=5e-4, err_msg=f"OP3 k={k}")
 
 
+def test_lane_kernel_manipulation_residuals_match_pipeline():
+  """Panda / FreeFingers / PickAndPlace lane_residual_spec rows match
+  the pipeline residual at identical states (derived-only path)."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.physics.model import FREE
+  from mujoco_mpc_tpu.tasks import registry
+
+  for task_name in ("Panda", "FreeFingers", "PickAndPlace"):
+    task = registry.get_task(task_name)
+    m = getattr(task, "plan_model", task.model)
+    spec = task.lane_residual_spec()
+    k_c = 3
+    kernel = step_lane.build_rollout_kernel(
+        m, 2, 2, interpret=True, contact_types=(),
+        residual_fn=spec["fn"], residual_dim=spec["dim"],
+        naux=spec["naux"])
+    res_fn = jax.jit(kernel.residual_array)
+    rng = np.random.default_rng(13)
+    d0 = task.make_data()
+    qpos0 = np.tile(np.asarray(jax.device_get(d0.qpos))[:, None],
+                    (1, k_c))
+    qpos0 += 0.05 * rng.standard_normal(qpos0.shape)
+    # renormalize free-joint quaternions after perturbation
+    jnt_type = np.asarray(m.jnt_type)
+    jnt_qposadr = np.asarray(m.jnt_qposadr)
+    for j in range(len(jnt_type)):
+      if int(jnt_type[j]) == FREE:
+        a = int(jnt_qposadr[j]) + 3
+        qpos0[a:a + 4] /= np.linalg.norm(qpos0[a:a + 4], axis=0)
+    qvel0 = 0.2 * rng.standard_normal((m.nv, k_c))
+    cr = np.asarray(jax.device_get(m.actuator_ctrlrange))
+    ctrl = jnp.asarray(
+        rng.uniform(np.maximum(cr[:, :1], -0.3),
+                    np.minimum(cr[:, 1:], 0.3), (m.nu, k_c)), jnp.float32)
+    aux_1 = np.asarray(jax.device_get(
+        spec["make_aux"](d0, task.residual_params)))
+    aux = jnp.asarray(np.tile(aux_1[:, None], (1, k_c)), jnp.float32)
+    res = res_fn(jnp.asarray(qpos0, jnp.float32),
+                 jnp.asarray(qvel0, jnp.float32), ctrl,
+                 jnp.asarray(0, jnp.int32), aux)
+    assert res.shape == (spec["dim"], k_c), task_name
+    fwd = jax.jit(lambda d: F.forward(m, d))
+    for k in range(k_c):
+      d = d0.replace(qpos=jnp.asarray(qpos0[:, k], jnp.float32),
+                     qvel=jnp.asarray(qvel0[:, k], jnp.float32),
+                     ctrl=ctrl[:, k])
+      ref = task.residual(m, fwd(d), task.residual_params)
+      np.testing.assert_allclose(np.asarray(res[:, k]),
+                                 np.asarray(ref), atol=5e-4,
+                                 err_msg=f"{task_name} k={k}")
+
+
 def test_lane_kernel_tracking_residual_matches_pipeline():
   """Humanoid Track lane spec: the time-varying clip targets ride
   per-step aux rows gathered with ctx['aux_dyn']; rows must match the
