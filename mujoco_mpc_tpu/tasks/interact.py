@@ -167,6 +167,80 @@ class HumanoidInteract(base.Task):
         com_feet[None], facing[None], comvel[:2], joint_vel, control,
         contact])
 
+  # ---- lane-kernel in-kernel residual (stand-family modes) ----
+
+  # Sit mode needs the chair-seat contacts, which the lane kernel's
+  # ground-only planning dynamics drop -> Sit plans on the XLA pipeline
+  lane_modes = (MODE_STAND, MODE_RELAX, MODE_STILL)
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py (component form),
+    stand-family branch of residual() above: the is_sit terms (facing,
+    contact) are identically zero in these modes, matching the
+    pipeline's jnp.where rows."""
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    body_mass = np.asarray(g(m.body_mass))
+    parent = np.asarray(m.body_parentid)
+    torso = self._torso
+    head_b = int(site_bodyid[self._head])
+    head_p = [float(v) for v in site_pos[self._head]]
+    up_bodies = [torso, self._pelvis,
+                 self._foot["right"], self._foot["left"]]
+    feet = [self._foot["right"], self._foot["left"]]
+    shins = [self._shin["right"], self._shin["left"]]
+    ids = []
+    for b in range(int(m.nbody)):
+      a = b
+      while a not in (0, torso):
+        a = int(parent[a])
+      if a == torso:
+        ids.append(b)
+    total_mass = max(sum(float(body_mass[b]) for b in ids), 1e-12)
+    nv, nu = int(m.nv), int(m.nu)
+
+    def fn(ctx):
+      lm, cv, aux = ctx["lm"], ctx["cv"], ctx["aux"]
+      xpos, xquat, xipos = ctx["xpos"], ctx["xquat"], ctx["xipos"]
+      scom, ref, cvel = ctx["subtree_com"], ctx["ref"], ctx["cvel"]
+      qvel, ctrl = ctx["qvel"], ctx["ctrl"]
+      z = cv([0.0, 0.0, 1.0])
+      rows = [jnp.abs(lm.qrot(xquat[b], z)[2] - 1.0) for b in up_bodies]
+      head = lm.vadd(xpos[head_b], lm.qrot(xquat[head_b], cv(head_p)))
+      rows.append(jnp.abs(head[2] - aux[0]))
+      rows.append(jnp.abs(xipos[torso][2] - aux[1]))
+      feet_avg = [0.5 * (xpos[feet[0]][k] + xpos[feet[1]][k])
+                  for k in range(2)]
+      knee_avg = [0.5 * (xpos[shins[0]][k] + xpos[shins[1]][k])
+                  for k in range(2)]
+      kx = knee_avg[0] - feet_avg[0]
+      ky = knee_avg[1] - feet_avg[1]
+      rows.append(jnp.sqrt(kx * kx + ky * ky))
+      cx = scom[torso][0] - feet_avg[0]
+      cy = scom[torso][1] - feet_avg[1]
+      rows.append(jnp.sqrt(cx * cx + cy * cy))
+      zero = qvel[0] * 0.0
+      rows.append(zero)  # facing (sit-mode only)
+      comvel = [0.0, 0.0, 0.0]
+      for b in ids:
+        ang_b, lin_b = cvel[b]
+        linv = lm.vadd(lin_b, lm.vcross(ang_b, lm.vsub(xipos[b], ref[b])))
+        for k in range(3):
+          comvel[k] = comvel[k] + float(body_mass[b]) * linv[k]
+      rows += [comvel[0] / total_mass, comvel[1] / total_mass]
+      rows += [qvel[i] for i in range(6, nv)]
+      rows += [ctrl[u] for u in range(nu)]
+      rows += [zero] * 6  # contact pairs (sit-mode only)
+      return rows
+
+    def make_aux(d0, params):
+      return jnp.stack([params[0], params[1]])
+
+    return dict(dim=11 + (nv - 6) + nu + 6, naux=2, fn=fn,
+                make_aux=make_aux)
+
   def transition(self, d: Data) -> Data:
     """Mode change applies the default weight preset + height goals
     (interact.cc:201-206)."""

@@ -391,6 +391,52 @@ def test_lane_kernel_manipulation_residuals_match_pipeline():
                                  err_msg=f"{task_name} k={k}")
 
 
+def test_lane_kernel_interact_residual_matches_pipeline():
+  """Humanoid Interact lane spec (stand-family modes): rows match the
+  pipeline residual with the sit-only terms identically zero."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import interact, registry
+
+  task = registry.get_task("Humanoid Interact")
+  # stand mode (default params are Sit, which plans on the pipeline)
+  p = np.asarray(jax.device_get(task.residual_params)).copy()
+  p[interact.S_MODE] = interact.MODE_STAND
+  task.residual_params = jnp.asarray(p, jnp.float32)
+  m = getattr(task, "plan_model", task.model)
+  spec = task.lane_residual_spec()
+  k_c = 3
+  kernel = step_lane.build_rollout_kernel(
+      m, 2, 2, interpret=True, contact_types=(),
+      residual_fn=spec["fn"], residual_dim=spec["dim"],
+      naux=spec["naux"])
+  res_fn = jax.jit(kernel.residual_array)
+  rng = np.random.default_rng(17)
+  d0 = task.make_data()
+  qpos0 = np.tile(np.asarray(jax.device_get(d0.qpos))[:, None], (1, k_c))
+  qpos0[7:] += 0.05 * rng.standard_normal((m.nq - 7, k_c))
+  qvel0 = 0.2 * rng.standard_normal((m.nv, k_c))
+  cr = np.asarray(jax.device_get(m.actuator_ctrlrange))
+  ctrl = jnp.asarray(
+      rng.uniform(np.maximum(cr[:, :1], -0.3),
+                  np.minimum(cr[:, 1:], 0.3), (m.nu, k_c)), jnp.float32)
+  aux_1 = np.asarray(jax.device_get(
+      spec["make_aux"](d0, task.residual_params)))
+  aux = jnp.asarray(np.tile(aux_1[:, None], (1, k_c)), jnp.float32)
+  res = res_fn(jnp.asarray(qpos0, jnp.float32),
+               jnp.asarray(qvel0, jnp.float32), ctrl,
+               jnp.asarray(0, jnp.int32), aux)
+  assert res.shape == (spec["dim"], k_c)
+  fwd = jax.jit(lambda d: F.forward(m, d))
+  for k in range(k_c):
+    d = d0.replace(qpos=jnp.asarray(qpos0[:, k], jnp.float32),
+                   qvel=jnp.asarray(qvel0[:, k], jnp.float32),
+                   ctrl=ctrl[:, k])
+    ref = task.residual(m, fwd(d), task.residual_params)
+    np.testing.assert_allclose(np.asarray(res[:, k]), np.asarray(ref),
+                               atol=5e-4, err_msg=f"Interact k={k}")
+
+
 def test_lane_kernel_tracking_residual_matches_pipeline():
   """Humanoid Track lane spec: the time-varying clip targets ride
   per-step aux rows gathered with ctx['aux_dyn']; rows must match the
