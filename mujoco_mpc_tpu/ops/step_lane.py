@@ -198,7 +198,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
   full (8, 128) VPU tile per elementwise op instead of the quarter-tile
   (2, 128) the trajectory-recording layout forced.
   """
-  assert supports(m, ground_only=True), \
+  assert supports(m, ground_only=True, body_pairs=body_pairs), \
       "model outside the kernel's class"
   c = _static(m)
   nq, nv, nu, nb = m.nq, m.nv, m.nu, m.nbody

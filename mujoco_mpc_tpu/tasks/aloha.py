@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mujoco_mpc_tpu.physics import math as mm
 from mujoco_mpc_tpu.physics.model import Data, Model
@@ -175,6 +176,82 @@ class BimanualInsert(_PadGrasp, base.Task):
         insert])
 
 
+  # connector-gripper contacts are load-bearing for planning
+  plan_body_pairs = True
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: reach, pad-grasp
+    surrogate, z-dominant lift, 18-point frame-mating rows
+    (insert.cc:135-147 semantics), all on VMEM-resident FK."""
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_quat = np.asarray(g(m.site_quat))
+    site_bodyid = np.asarray(m.site_bodyid)
+    geom_pos = np.asarray(g(m.geom_pos))
+    geom_bodyid = np.asarray(m.geom_bodyid)
+    body_ipos = np.asarray(g(m.body_ipos))
+
+    def site_const(s):
+      return (int(site_bodyid[s]), [float(v) for v in site_pos[s]],
+              [float(v) for v in site_quat[s]])
+
+    hands = [site_const(s) for s in (self._hand_l, self._hand_r)]
+    conns = [site_const(s) for s in (self._site_f, self._site_m)]
+    pads = {side: [(b, [float(v) for v in body_ipos[b]])
+                   for b in (self._fl[side], self._fr[side])]
+            for side in ("left", "right")}
+    objs = [(b, [float(v) for v in body_ipos[b]])
+            for b in (self._body_f, self._body_m)]
+    tg_b = int(geom_bodyid[self._target])
+    tg_p = [float(v) for v in geom_pos[self._target]]
+
+    def fn(ctx):
+      lm, cv = ctx["lm"], ctx["cv"]
+      xpos, xquat, xipos = ctx["xpos"], ctx["xquat"], ctx["xipos"]
+
+      def site_world(b, p, q):
+        pos = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
+        wq = lm.qmul(xquat[b], tuple(q))  # const quat: scalars broadcast
+        return pos, wq
+
+      f_pos, f_q = site_world(*conns[0])
+      m_pos, m_q = site_world(*conns[1])
+      rows = []
+      for (b, p, q), tgt in zip(hands, (f_pos, m_pos)):
+        h = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
+        rows += [h[k] - tgt[k] for k in range(3)]
+      for side, (ob, _) in zip(("left", "right"), objs):
+        dsum = None
+        for pb, pp in pads[side]:
+          pad = xipos[pb]
+          dx = [pad[k] - xipos[ob][k] for k in range(3)]
+          dist = jnp.sqrt(dx[0] ** 2 + dx[1] ** 2 + dx[2] ** 2 + 1e-18)
+          dsum = dist if dsum is None else dsum + dist
+        rows.append(jnp.clip((dsum - 0.06) / 0.2, 0.0, 1.0))
+      target = lm.vadd(xpos[tg_b], lm.qrot(xquat[tg_b], cv(tg_p)))
+      for pos in (m_pos, f_pos):
+        sc = (0.1, 0.1, 1.0)
+        rows += [(pos[k] - target[k]) * sc[k] for k in range(3)]
+      # 18 mating rows: male keypoints minus female keypoints
+      axes = [cv([1.0, 0.0, 0.0]), cv([0.0, 1.0, 0.0]),
+              cv([0.0, 0.0, 1.0])]
+      r = 0.08
+      for dim in range(3):
+        am = lm.qrot(m_q, axes[dim])
+        af = lm.qrot(f_q, axes[dim])
+        for sgn in (-1.0, 1.0):
+          for k in range(3):
+            rows.append((m_pos[k] + sgn * r * am[k])
+                        - (f_pos[k] + sgn * r * af[k]))
+      return rows
+
+    def make_aux(d0, params):
+      return jnp.zeros((1,), jnp.float32)
+
+    return dict(dim=32, naux=1, fn=fn, make_aux=make_aux)
+
+
 class BimanualReorient(_PadGrasp, base.Task):
   """Reorient the cross-shaped object to the floating target pose
   (reference "Bimanual Reorient")."""
@@ -202,3 +279,54 @@ class BimanualReorient(_PadGrasp, base.Task):
              _cross18(obj_pos, obj_mat, 0.05))
     return jnp.concatenate([
         reach_l, reach_r, grasp_l[None], grasp_r[None], bring])
+
+  # object-gripper contacts are load-bearing for planning
+  plan_body_pairs = True
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: reach + pad grasp +
+    18-keypoint bring; the target keypoints are mocap-derived and fixed
+    per rollout, so they ride 18 aux rows."""
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    body_ipos = np.asarray(g(m.body_ipos))
+    hands = [(int(site_bodyid[s]), [float(v) for v in site_pos[s]])
+             for s in (self._hand_l, self._hand_r)]
+    pads = {side: [self._fl[side], self._fr[side]]
+            for side in ("left", "right")}
+    obj = self._object
+
+    def fn(ctx):
+      lm, cv, aux = ctx["lm"], ctx["cv"], ctx["aux"]
+      xpos, xquat, xipos = ctx["xpos"], ctx["xquat"], ctx["xipos"]
+      rows = []
+      for b, p in hands:
+        h = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
+        rows += [h[k] - xipos[obj][k] for k in range(3)]
+      for side in ("left", "right"):
+        dsum = None
+        for pb in pads[side]:
+          dx = [xipos[pb][k] - xipos[obj][k] for k in range(3)]
+          dist = jnp.sqrt(dx[0] ** 2 + dx[1] ** 2 + dx[2] ** 2 + 1e-18)
+          dsum = dist if dsum is None else dsum + dist
+        rows.append(jnp.clip((dsum - 0.06) / 0.2, 0.0, 1.0))
+      # bring: aux target keypoints minus object keypoints (body frame)
+      axes = [cv([1.0, 0.0, 0.0]), cv([0.0, 1.0, 0.0]),
+              cv([0.0, 0.0, 1.0])]
+      r, i = 0.05, 0
+      for dim in range(3):
+        a = lm.qrot(xquat[obj], axes[dim])
+        for sgn in (-1.0, 1.0):
+          for k in range(3):
+            rows.append(aux[i] - (xipos[obj][k] + sgn * r * a[k]))
+            i += 1
+      return rows
+
+    def make_aux(d0, params):
+      t_pos = d0.mocap_pos[0]
+      t_mat = mm.quat_to_mat(mm.normalize_quat(d0.mocap_quat[0]))
+      return _cross18(t_pos, t_mat, 0.05).astype(jnp.float32)
+
+    return dict(dim=26, naux=18, fn=fn, make_aux=make_aux)

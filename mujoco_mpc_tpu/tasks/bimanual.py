@@ -140,3 +140,35 @@ class BimanualHandover(base.Task):
     reach_r = d.site_xpos[self._hand_r] - obj
     bring = obj - target
     return jnp.concatenate([reach_l, reach_r, bring, d.ctrl])
+
+  # object-gripper contacts are load-bearing for planning
+  plan_body_pairs = True
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: hand-to-object reach +
+    object-to-target bring (mocap target fixed per rollout -> aux)."""
+    import numpy as np
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    hands = [(int(site_bodyid[s]), [float(v) for v in site_pos[s]])
+             for s in (self._hand_l, self._hand_r)]
+    obj = self._object
+    nu = int(m.nu)
+
+    def fn(ctx):
+      lm, cv, aux = ctx["lm"], ctx["cv"], ctx["aux"]
+      xpos, xquat, ctrl = ctx["xpos"], ctx["xquat"], ctx["ctrl"]
+      rows = []
+      for b, p in hands:
+        h = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
+        rows += [h[k] - xpos[obj][k] for k in range(3)]
+      rows += [xpos[obj][k] - aux[k] for k in range(3)]
+      rows += [ctrl[u] for u in range(nu)]
+      return rows
+
+    def make_aux(d0, params):
+      return d0.mocap_pos[0].astype(jnp.float32)
+
+    return dict(dim=9 + nu, naux=3, fn=fn, make_aux=make_aux)

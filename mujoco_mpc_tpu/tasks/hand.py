@@ -108,6 +108,10 @@ class HandReorient(base.Task):
 
   name = "Hand Reorient"
 
+  # cube-fingertip contacts are load-bearing for planning: keep the
+  # body-body pairs in the lane kernel (pattern: tasks/rubik.py)
+  plan_body_pairs = True
+
   def __init__(self, **kw):
     super().__init__(**kw)
     names = self.model.names
@@ -136,6 +140,58 @@ class HandReorient(base.Task):
     cube_vel = d.qvel[cube_dof:cube_dof + 6]
 
     return jnp.concatenate([orient, position, reach, d.ctrl, cube_vel])
+
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: quat-tangent orientation
+    error (mju_subQuat in component form, pattern: tasks/rubik.py),
+    cube position/reach/velocity, control. The goal quaternion rides
+    aux rows so SetState goal changes never recompile."""
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    site_pos = np.asarray(g(m.site_pos))
+    site_bodyid = np.asarray(m.site_bodyid)
+    tips = [(int(site_bodyid[s]), [float(v) for v in site_pos[s]])
+            for s in self._tips]
+    cube = self._cube
+    qadr = self._cube_qadr
+    dadr = 9  # 9 hinge dofs precede the cube free joint
+    nu = int(m.nu)
+
+    def fn(ctx):
+      lm, cv, aux = ctx["lm"], ctx["cv"], ctx["aux"]
+      qpos, qvel, ctrl = ctx["qpos"], ctx["qvel"], ctx["ctrl"]
+      xpos, xquat = ctx["xpos"], ctx["xquat"]
+      # orient: quat_sub(cube, goal) = log(goal^-1 * cube)
+      cq = tuple(qpos[qadr + 3 + k] for k in range(4))
+      nrm = jnp.sqrt(cq[0] ** 2 + cq[1] ** 2 + cq[2] ** 2
+                     + cq[3] ** 2 + 1e-18)
+      cq = tuple(q / nrm for q in cq)
+      gq = (aux[0], aux[1], aux[2], aux[3])
+      qd = lm.qmul((gq[0], -gq[1], -gq[2], -gq[3]), cq)
+      sgn = jnp.where(qd[0] < 0, -1.0, 1.0)
+      qd = tuple(sgn * q for q in qd)
+      sin_half = jnp.sqrt(qd[1] ** 2 + qd[2] ** 2 + qd[3] ** 2 + 1e-18)
+      angle = 2.0 * lm.atan2_nonneg(sin_half, jnp.maximum(qd[0], 0.0))
+      scale = angle / jnp.maximum(sin_half, 1e-12)
+      rows = [qd[1 + k] * scale for k in range(3)]
+      # position: cube to the fixed palm target
+      tgt = [0.0, 0.0, 0.055]
+      rows += [xpos[cube][k] - tgt[k] for k in range(3)]
+      # reach: fingertips to the cube
+      for b, p in tips:
+        tip = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
+        rows += [tip[k] - xpos[cube][k] for k in range(3)]
+      rows += [ctrl[u] for u in range(nu)]
+      rows += [qvel[dadr + k] for k in range(6)]
+      return rows
+
+    def make_aux(d0, params):
+      from mujoco_mpc_tpu.physics import math as mmath
+      return mmath.normalize_quat(d0.mocap_quat[0]).astype(jnp.float32)
+
+    return dict(dim=6 + 3 * len(tips) + nu + 6, naux=4, fn=fn,
+                make_aux=make_aux)
 
 
 class CubeSolving(HandReorient):

@@ -346,7 +346,9 @@ def test_lane_kernel_manipulation_residuals_match_pipeline():
   from mujoco_mpc_tpu.physics.model import FREE
   from mujoco_mpc_tpu.tasks import registry
 
-  for task_name in ("Panda", "FreeFingers", "PickAndPlace"):
+  for task_name in ("Panda", "FreeFingers", "PickAndPlace",
+                    "Hand Reorient", "Bimanual Handover",
+                    "Bimanual Insert", "Bimanual Reorient"):
     task = registry.get_task(task_name)
     m = getattr(task, "plan_model", task.model)
     spec = task.lane_residual_spec()
@@ -354,7 +356,8 @@ def test_lane_kernel_manipulation_residuals_match_pipeline():
     kernel = step_lane.build_rollout_kernel(
         m, 2, 2, interpret=True, contact_types=(),
         residual_fn=spec["fn"], residual_dim=spec["dim"],
-        naux=spec["naux"])
+        naux=spec["naux"],
+        body_pairs=bool(getattr(task, "plan_body_pairs", False)))
     res_fn = jax.jit(kernel.residual_array)
     rng = np.random.default_rng(13)
     d0 = task.make_data()
