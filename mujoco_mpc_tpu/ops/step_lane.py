@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mujoco_mpc_tpu.ops import lanemath as lm
 from mujoco_mpc_tpu.physics.model import (BIAS_NONE, FREE, GAIN_FIXED,
-                                          HINGE, SLIDE, TRN_JOINT, Model)
+                                          HINGE, SLIDE, TRN_JOINT,
+                                          TRN_SITE, Model)
 
 
 from mujoco_mpc_tpu.physics import collision as coll
@@ -82,7 +83,7 @@ def supports(m: Model, ground_only: bool = False,
   if np.any(np.asarray(jax.device_get(m.dof_frictionloss)) > 0):
     return False
   for u in range(m.nu):
-    if int(m.actuator_trntype[u]) != TRN_JOINT:
+    if int(m.actuator_trntype[u]) not in (TRN_JOINT, TRN_SITE):
       return False
   return True
 
@@ -113,6 +114,7 @@ def _static(m: Model):
       forcerange=g(m.actuator_forcerange),
       forcelimited=g(m.actuator_forcelimited),
       site_pos=g(m.site_pos) if m.nsite else None,
+      site_quat=g(m.site_quat) if m.nsite else None,
   )
 
 
@@ -445,16 +447,34 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
     act_force = []
     for u in range(nu):
+      trntype = int(m.actuator_trntype[u])
       tid = int(m.actuator_trnid[u, 0])
-      dadr = int(m.jnt_dofadr[tid])
-      qadr = int(m.jnt_qposadr[tid])
-      gear = float(c["gear"][u][0])
       uin = ctrl[u]
       if c["ctrllimited"][u]:
         uin = jnp.clip(uin, float(c["ctrlrange"][u][0]),
                        float(c["ctrlrange"][u][1]))
-      length = qpos[qadr] * gear
-      velocity = qvel[dadr] * gear
+      if trntype == TRN_JOINT:
+        dadr = int(m.jnt_dofadr[tid])
+        qadr = int(m.jnt_qposadr[tid])
+        gear = float(c["gear"][u][0])
+        length = qpos[qadr] * gear
+        velocity = qvel[dadr] * gear
+        moment = {dadr: gear}
+      else:  # TRN_SITE: world wrench at the site (smooth.py transmission)
+        bid = int(np.asarray(m.site_bodyid)[tid])
+        sp = [float(v) for v in c["site_pos"][tid]]
+        sq = [float(v) for v in c["site_quat"][tid]]
+        gr = [float(v) for v in c["gear"][u]]
+        wq = lm.qmul(xquat[bid], tuple(sq))
+        f_w = lm.qrot(wq, cv(gr[0:3]))
+        t_w = lm.qrot(wq, cv(gr[3:6]))
+        spos = lm.vadd(xpos[bid], lm.qrot(xquat[bid], cv(sp)))
+        t_ref = lm.vadd(t_w, lm.vcross(lm.vsub(spos, ref[bid]), f_w))
+        dofs = [i for i in range(nv) if m.body_dof_mask[bid][i] > 0]
+        moment = {i: lm.vdot(cdof[i][0], t_ref) + lm.vdot(cdof[i][1], f_w)
+                  for i in dofs}
+        length = like * 0.0
+        velocity = sum((moment[i] * qvel[i] for i in dofs), like * 0.0)
       gp = c["gainprm"][u]
       if int(c["gaintype"][u]) == GAIN_FIXED:
         gain = float(gp[0])
@@ -470,7 +490,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         force = jnp.clip(force, float(c["forcerange"][u][0]),
                          float(c["forcerange"][u][1]))
       act_force.append(force)
-      qfrc[dadr] = qfrc[dadr] + gear * force
+      for i, mom in moment.items():
+        qfrc[i] = qfrc[i] + mom * force
 
     rhs = [qfrc[i] - qfrc_bias[i] for i in range(nv)]
 

@@ -89,3 +89,35 @@ class Quadrotor(base.Task):
     hover = total_mass * jnp.linalg.norm(m.opt.gravity) / m.nu
     return jnp.concatenate([
         pos, linvel, angvel, d.ctrl - hover])
+
+  def lane_residual_spec(self):
+    """In-kernel residual for ops/step_lane.py: body position to the
+    mocap goal (fixed per rollout -> aux), world-frame body velocity
+    from the VMEM-resident cvel, hover-thrust control deviation. The
+    rotors are TRN_SITE actuators handled in-kernel."""
+    import numpy as np
+    m = getattr(self, "plan_model", self.model)
+    g = jax.device_get
+    quad = 1  # body index (residual() above)
+    total_mass = float(np.sum(np.asarray(g(m.body_mass))))
+    grav = float(np.linalg.norm(np.asarray(g(m.opt.gravity))))
+    hover = total_mass * grav / int(m.nu)
+    nu = int(m.nu)
+
+    def fn(ctx):
+      lm, aux = ctx["lm"], ctx["aux"]
+      xpos, xipos = ctx["xpos"], ctx["xipos"]
+      ref, cvel, ctrl = ctx["ref"], ctx["cvel"], ctx["ctrl"]
+      rows = [xpos[quad][k] - aux[k] for k in range(3)]
+      ang, lin = cvel[quad]
+      linv = lm.vadd(lin, lm.vcross(ang, lm.vsub(xipos[quad],
+                                                 ref[quad])))
+      rows += [linv[k] for k in range(3)]
+      rows += [ang[k] for k in range(3)]
+      rows += [ctrl[u] - hover for u in range(nu)]
+      return rows
+
+    def make_aux(d0, params):
+      return d0.mocap_pos[0].astype(jnp.float32)
+
+    return dict(dim=9 + nu, naux=3, fn=fn, make_aux=make_aux)

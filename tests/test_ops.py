@@ -440,6 +440,57 @@ def test_lane_kernel_interact_residual_matches_pipeline():
                                atol=5e-4, err_msg=f"Interact k={k}")
 
 
+def test_lane_kernel_quadrotor_site_transmission_exact():
+  """TRN_SITE actuation in the lane kernel: quadrotor dynamics under
+  rotor thrust match the pipeline step exactly (2e-4), and the lane
+  residual matches the pipeline residual."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Quadrotor")
+  m = getattr(task, "plan_model", task.model)
+  assert step_lane.supports(m, ground_only=True)
+  spec = task.lane_residual_spec()
+  k_c = 4
+  kernel = step_lane.build_rollout_kernel(
+      m, 3, 2, interpret=True, contact_types=(),
+      residual_fn=spec["fn"], residual_dim=spec["dim"],
+      naux=spec["naux"])
+  step_fn = jax.jit(kernel.step_array)
+  rng = np.random.default_rng(19)
+  d0 = task.make_data()
+  qpos0 = np.tile(np.asarray(jax.device_get(d0.qpos))[:, None], (1, k_c))
+  qpos0[2] += 0.5 + 0.1 * rng.standard_normal(k_c)  # airborne
+  qpos0[3:7] += 0.05 * rng.standard_normal((4, k_c))
+  qpos0[3:7] /= np.linalg.norm(qpos0[3:7], axis=0)
+  qvel0 = 0.2 * rng.standard_normal((m.nv, k_c))
+  # asymmetric thrusts: excites force AND torque rows of the site moment
+  ctrl = jnp.asarray(rng.uniform(0.5, 3.0, (m.nu, k_c)), jnp.float32)
+  aux = jnp.asarray(np.tile(np.asarray(jax.device_get(
+      spec["make_aux"](d0, task.residual_params)))[:, None], (1, k_c)),
+      jnp.float32)
+  fwd = jax.jit(lambda d: F.forward(m, d))
+  step = jax.jit(lambda d: F.step(m, d))
+  qp = jnp.asarray(qpos0, jnp.float32)
+  qv = jnp.asarray(qvel0, jnp.float32)
+  for t in range(3):
+    qp2, qv2, res = step_fn(qp, qv, ctrl, jnp.asarray(t, jnp.int32), aux)
+    for k in range(k_c):
+      d = d0.replace(qpos=qp[:, k], qvel=qv[:, k], ctrl=ctrl[:, k])
+      ref = task.residual(m, fwd(d), task.residual_params)
+      np.testing.assert_allclose(np.asarray(res[:, k]), np.asarray(ref),
+                                 atol=5e-4, err_msg=f"res t={t} k={k}")
+      dn = step(d)
+      np.testing.assert_allclose(np.asarray(qp2[:, k]),
+                                 np.asarray(dn.qpos), atol=2e-4,
+                                 err_msg=f"qpos t={t} k={k}")
+      np.testing.assert_allclose(np.asarray(qv2[:, k]),
+                                 np.asarray(dn.qvel), atol=2e-3,
+                                 err_msg=f"qvel t={t} k={k}")
+    qp, qv = qp2, qv2
+
+
 def test_lane_kernel_tracking_residual_matches_pipeline():
   """Humanoid Track lane spec: the time-varying clip targets ride
   per-step aux rows gathered with ctx['aux_dyn']; rows must match the
