@@ -104,6 +104,8 @@ def main():
   bench_sampling("Quadruped Flat", k=4096, horizon=36)    # config 3
   bench_sampling("Humanoid Track", k=512, horizon=25)     # config 4
   bench_sampling("Rubik", k=512, horizon=16)              # config 5
+  # reference testspeed.cc default workload (testspeed_app.cc:23-28)
+  bench_sampling("Cube Solving", k=512, horizon=16)
 
 
 if __name__ == "__main__":
