@@ -11,7 +11,7 @@ transition switches the Height Goal per mode (kModeHeight = 0.38/0.57,
 stand.cc:155-166).
 
 The reference uses the Robotis OP3 mesh model; this is an independently-
-authored 14-joint biped rig exercising the same machinery.
+authored 18-joint biped rig (the real OP3 leg layout: hip yaw/roll/pitch, knee, ankle pitch/roll per leg; 3-dof arms) exercising the same machinery.
 """
 
 from __future__ import annotations
@@ -33,12 +33,16 @@ NPARAM = 2
 
 
 def _leg(side, sign):
+  # 6 dofs per leg (hip yaw/roll/pitch, knee, ankle pitch/roll) — the
+  # real ROBOTIS OP3 leg layout (reference task.xml Ctrl Diff dim 18)
   return f"""
       <body name="thigh_{side}" pos="0 {sign * 0.05} -0.08">
-        <joint name="hip_p_{side}" type="hinge" axis="0 1 0"
-               range="-120 60"/>
+        <joint name="hip_y_{side}" type="hinge" axis="0 0 1"
+               range="-60 60"/>
         <joint name="hip_r_{side}" type="hinge" axis="1 0 0"
                range="-30 30"/>
+        <joint name="hip_p_{side}" type="hinge" axis="0 1 0"
+               range="-120 60"/>
         <geom name="thigh_{side}_g" type="capsule"
               fromto="0 0 0 0 0 -0.11" size="0.022" mass="0.6"/>
         <body name="shin_{side}" pos="0 0 -0.11">
@@ -49,6 +53,8 @@ def _leg(side, sign):
           <body name="foot_{side}" pos="0 0 -0.11">
             <joint name="ankle_{side}" type="hinge" axis="0 1 0"
                    range="-60 60"/>
+            <joint name="ankle_r_{side}" type="hinge" axis="1 0 0"
+                   range="-30 30"/>
             <geom name="foot_{side}_g" type="box" size="0.05 0.028 0.012"
                   pos="0.015 0 -0.012" mass="0.15"
                   friction="1.2 0.02 0.001"/>
@@ -82,14 +88,15 @@ def _arm(side, sign):
 
 
 _JOINTS = [f"{j}_{s}" for s in ("r", "l")
-           for j in ("hip_p", "hip_r", "knee", "ankle")] + \
+           for j in ("hip_y", "hip_r", "hip_p", "knee", "ankle",
+                     "ankle_r")] + \
           [f"{j}_{s}" for s in ("r", "l")
            for j in ("sho_p", "sho_r", "elbow")]
 
 _RANGES = {
-    "hip_p": (-2.0, 1.0), "hip_r": (-0.5, 0.5), "knee": (-0.05, 2.6),
-    "ankle": (-1.0, 1.0), "sho_p": (-3.4, 3.4), "sho_r": (-1.5, 1.5),
-    "elbow": (-2.6, 0.05),
+    "hip_y": (-1.0, 1.0), "hip_p": (-2.0, 1.0), "hip_r": (-0.5, 0.5),
+    "knee": (-0.05, 2.6), "ankle": (-1.0, 1.0), "ankle_r": (-0.5, 0.5),
+    "sho_p": (-3.4, 3.4), "sho_r": (-1.5, 1.5), "elbow": (-2.6, 0.05),
 }
 
 _ACT = "".join(
@@ -99,8 +106,9 @@ _ACT = "".join(
     f'forcerange="-8 8" forcelimited="true"/>' for j in _JOINTS)
 
 # stand: slight crouch; handstand: arms straight down (inverted pose)
-_STAND_JOINTS = "-0.4 0 0.8 -0.4 " * 2 + "0.2 0 -0.3 " * 2
-_HANDSTAND_JOINTS = "-0.6 0 1.2 -0.6 " * 2 + "3.14 0 0 " * 2
+# per-leg order: hip_y hip_r hip_p knee ankle ankle_r
+_STAND_JOINTS = "0 0 -0.4 0.8 -0.4 0 " * 2 + "0.2 0 -0.3 " * 2
+_HANDSTAND_JOINTS = "0 0 -0.6 1.2 -0.6 0 " * 2 + "3.14 0 0 " * 2
 
 _XML = f"""
 <mujoco model="OP3">
@@ -108,9 +116,9 @@ _XML = f"""
   <custom>
     <text name="task_transition" data="Stand|Handstand"/>
     <numeric name="agent_planner" data="0" />
-    <numeric name="agent_horizon" data="0.35" />
+    <numeric name="agent_horizon" data="0.5" />
     <numeric name="agent_timestep" data="0.015" />
-    <numeric name="sampling_trajectories" data="32"/>
+    <numeric name="sampling_trajectories" data="64"/>
     <numeric name="sampling_spline_points" data="3" />
     <numeric name="sampling_exploration" data="0.1" />
     <numeric name="residual_Height Goal" data="0.30 0.0 0.75" />
@@ -146,9 +154,9 @@ _XML = f"""
     <user name="Height" dim="1" user="6 100.0 0.0 100.0 0.1" />
     <user name="Balance" dim="1" user="6 50.0 0.0 100.0 0.1" />
     <user name="CoM Vel." dim="2" user="0 10.0 0.0 100.0" />
-    <user name="Ctrl Diff" dim="14" user="0 0.25 0.0 1.0" />
+    <user name="Ctrl Diff" dim="18" user="0 0.25 0.0 1.0" />
     <user name="Upright" dim="13" user="2 5.0 0.0 25.0 0.01" />
-    <user name="Joint Vel" dim="14" user="0 1.0e-5 0 1.0e-3" />
+    <user name="Joint Vel" dim="18" user="0 1.0e-5 0 1.0e-3" />
   </sensor>
   <keyframe>
     <key name="home" qpos="0 0 0.31 1 0 0 0 {_STAND_JOINTS}"/>
