@@ -115,6 +115,9 @@ def _static(m: Model):
       forcelimited=g(m.actuator_forcelimited),
       site_pos=g(m.site_pos) if m.nsite else None,
       site_quat=g(m.site_quat) if m.nsite else None,
+      viscosity=float(g(m.opt.viscosity)),
+      density=float(g(m.opt.density)),
+      wind=[float(v) for v in g(m.opt.wind)],
   )
 
 
@@ -166,6 +169,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                          contact_geoms=None,
                          cost_terms=None,
                          body_pairs: bool = False,
+                         ctrl_fn=None, naux_extra: int = 0,
                          profile_phase: str = None) -> Callable:
   """Returns fn(qpos0 (nq,K), qvel0 (nv,K), values (P*nu, K)) ->
   states (horizon, nq+nv, K) for a zero-order-hold spline with
@@ -444,6 +448,49 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
           qpos[qadr] - float(c["qpos_spring"][qadr]))
     for i in range(nv):
       qfrc[i] = qfrc[i] - float(c["dof_damping"][i]) * qvel[i]
+
+    # ---- fluid (inertia-box viscosity/density, smooth.py _fluid_force)
+    visc, rho = c["viscosity"], c["density"]
+    wind = c["wind"]
+    if visc > 0.0 or rho > 0.0 or any(w != 0.0 for w in wind):
+      for i in range(1, nb):
+        mass_i = float(c["body_mass"][i])
+        if mass_i <= 1e-12:
+          continue
+        i0, i1, i2 = (float(v) for v in c["body_inertia"][i])
+        box = [np.sqrt(max(1e-12, (i1 + i2 - i0) * 3.0 / (2 * mass_i))),
+               np.sqrt(max(1e-12, (i0 + i2 - i1) * 3.0 / (2 * mass_i))),
+               np.sqrt(max(1e-12, (i0 + i1 - i2) * 3.0 / (2 * mass_i)))]
+        diam = sum(box) / 3.0
+        w_w, v_w = cvel[i]
+        v_w = lm.vadd(v_w, lm.vcross(w_w, lm.vsub(xipos[i], ref[i])))
+        v_w = lm.vsub(v_w, cv(wind))
+        iq = c["body_iquat"][i]
+        qw = lm.qmul(xquat[i], (float(iq[0]), float(iq[1]),
+                                float(iq[2]), float(iq[3])))
+        qc = (qw[0], -qw[1], -qw[2], -qw[3])
+        la = lm.qrot(qc, w_w)   # local (inertial-frame) angular vel
+        ll = lm.qrot(qc, v_w)   # local linear vel
+        tq = [-np.pi * diam ** 3 * visc * la[k] for k in range(3)]
+        fr = [-3.0 * np.pi * diam * visc * ll[k] for k in range(3)]
+        if rho > 0.0:
+          b0, b1, b2 = box
+          fr[0] = fr[0] - 0.5 * rho * b1 * b2 * jnp.abs(ll[0]) * ll[0]
+          fr[1] = fr[1] - 0.5 * rho * b0 * b2 * jnp.abs(ll[1]) * ll[1]
+          fr[2] = fr[2] - 0.5 * rho * b0 * b1 * jnp.abs(ll[2]) * ll[2]
+          tq[0] = tq[0] - rho * b0 * (b1 ** 4 + b2 ** 4) / 64.0 * \
+              jnp.abs(la[0]) * la[0]
+          tq[1] = tq[1] - rho * b1 * (b0 ** 4 + b2 ** 4) / 64.0 * \
+              jnp.abs(la[1]) * la[1]
+          tq[2] = tq[2] - rho * b2 * (b0 ** 4 + b1 ** 4) / 64.0 * \
+              jnp.abs(la[2]) * la[2]
+        f_w = lm.qrot(qw, tuple(fr))
+        t_w = lm.qrot(qw, tuple(tq))
+        t_ref = lm.vadd(t_w, lm.vcross(lm.vsub(xipos[i], ref[i]), f_w))
+        for dof in range(nv):
+          if m.body_dof_mask[i][dof] > 0:
+            qfrc[dof] = qfrc[dof] + lm.vdot(cdof[dof][0], t_ref) + \
+                lm.vdot(cdof[dof][1], f_w)
 
     act_force = []
     for u in range(nu):
@@ -1021,8 +1068,17 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
   if cost_terms:
     assert residual_fn is not None and not record_states
     assert sum(d for _, d in cost_terms) == residual_dim
+  # ctrl_fn(t, qpos, qvel, vals, aux_dyn) -> [nu lane arrays] replaces
+  # the spline node gather (feedback policies: u = u_nom + a k + K dx,
+  # ilqg/policy.cc:82-140). vals(i) reads values_ref rows (per-candidate
+  # scalars, e.g. line-search alpha); aux_dyn(i) reads raw aux rows —
+  # naux_extra appends per-step rows that are NEVER materialized outside
+  # the loop (read stride-at-a-time inside the step).
+  if ctrl_fn is not None:
+    assert residual_fn is not None, "ctrl_fn requires an in-kernel residual"
   naux_kernel = naux + 2 * nterm
-  naux_eff = max(naux_kernel, 1) if residual_fn is not None else 0
+  naux_eff = (max(naux_kernel, 1) + naux_extra
+              if residual_fn is not None else 0)
   if not record_states:
     assert residual_fn is not None, \
         "record_states=False requires an in-kernel residual"
@@ -1074,10 +1130,14 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     qvel = [qvel_ref[i] for i in range(nv)]
     zero = qpos[0] * 0.0
     sums = [zero] * nterm
+    vals = lambda i: values_ref[i]
     if unroll:
       for t in range(horizon):
-        node = node_of_step[t]
-        ctrl = [values_ref[node * nu + u] for u in range(nu)]
+        if ctrl_fn is not None:
+          ctrl = ctrl_fn(t, qpos, qvel, vals, aux_dyn)
+        else:
+          node = node_of_step[t]
+          ctrl = [values_ref[node * nu + u] for u in range(nu)]
         new_qpos, new_qvel, res = step_body(qpos, qvel, ctrl, t, aux,
                                             aux_dyn=aux_dyn)
         if cost_terms:
@@ -1091,9 +1151,12 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       def body(t, carry):
         qpos, qvel, sums = (list(carry[0]), list(carry[1]),
                             list(carry[2]))
-        node = jnp.minimum((t * num_nodes) // max(horizon - 1, 1),
-                           num_nodes - 1)
-        ctrl = [values_ref[node * nu + u] for u in range(nu)]
+        if ctrl_fn is not None:
+          ctrl = ctrl_fn(t, qpos, qvel, vals, aux_dyn)
+        else:
+          node = jnp.minimum((t * num_nodes) // max(horizon - 1, 1),
+                             num_nodes - 1)
+          ctrl = [values_ref[node * nu + u] for u in range(nu)]
         new_qpos, new_qvel, res = step_body(qpos, qvel, ctrl, t, aux,
                                             aux_dyn=aux_dyn)
         if cost_terms:
@@ -1138,7 +1201,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     nvals = values.shape[0]
     inputs = [qpos0, qvel0, values]
     if residual_fn is not None:
-      if aux is None or naux == 0:
+      if aux is None or (naux == 0 and naux_extra == 0):
         aux = jnp.zeros((naux_eff, k), qpos0.dtype)
       inputs.append(aux)
     nout = nq + nv + nr

@@ -31,6 +31,7 @@ line searches are vmapped batches of feedback rollouts.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -219,14 +220,115 @@ def update_regularization(reg, rate, factor, reg_min, reg_max, z, s):
   return (jnp.where(keep, reg, reg_new), jnp.where(keep, rate, rate_new))
 
 
+def _make_lane_feedback(m: Model, lane_spec, horizon: int,
+                        interpret: bool = False):
+  """Lane-kernel feedback rollouts: the whole K-candidate line search
+  (u = u_nom + alpha k + s K dx per step) runs INSIDE one Pallas kernel
+  call — candidates on lanes, the horizon in VMEM — instead of K
+  vmapped XLA scans whose per-step dispatch overhead dominates at
+  robotics sizes (this is what makes the sampling path 30x+; here it
+  accelerates iLQG's two line searches, planner.cc:618-712).
+
+  Quat-free models only (state_diff == subtraction); gated by caller.
+  The nominal trajectory, gains, and k rides per-step aux rows read
+  stride-at-a-time inside the kernel loop (naux_extra); alpha / scale
+  are per-candidate values rows.
+  """
+  import numpy as np
+  from mujoco_mpc_tpu.ops import step_lane
+
+  nq, nv, nu = int(m.nq), int(m.nv), int(m.nu)
+  nx = deriv.ndx(m)
+  assert nq == nv and int(m.na) == 0
+  naux0 = max(int(lane_spec["naux"]), 1)
+  nr = int(lane_spec["dim"])
+  stride = 2 * nu + nu * nx + nq + nv
+  g = jax.device_get
+  lo = np.asarray(g(m.actuator_ctrlrange))[:, 0]
+  hi = np.asarray(g(m.actuator_ctrlrange))[:, 1]
+
+  def ctrl_fn(t, qpos, qvel, vals, aux_dyn):
+    alpha, scale = vals(0), vals(1)
+    base = naux0 + t * stride
+    xb = base + 2 * nu + nu * nx
+    us = []
+    for u in range(nu):
+      c = aux_dyn(base + u) + alpha * aux_dyn(base + nu + u)
+      g0 = base + 2 * nu + u * nx
+      acc = c * 0.0
+      for i in range(nv):
+        acc = acc + aux_dyn(g0 + i) * (qpos[i] - aux_dyn(xb + i))
+      for i in range(nv):
+        acc = acc + aux_dyn(g0 + nv + i) * (qvel[i] - aux_dyn(xb + nq + i))
+      us.append(jnp.clip(c + scale * acc, float(lo[u]), float(hi[u])))
+    return us
+
+  kernel = step_lane.build_rollout_kernel(
+      m, horizon, 1, interpret=interpret, unroll=False,
+      residual_fn=lane_spec["fn"], residual_dim=nr, naux=naux0,
+      record_states=True, ctrl_fn=ctrl_fn,
+      naux_extra=horizon * stride)
+  make_aux = lane_spec["make_aux"]
+
+  def rollouts(d0, pol_states, pol_actions, ks, kmats, alphas, scales,
+               residual_params, cs):
+    """(K candidates) -> states (K,H,nq+nv), actions (K,H,nu),
+    returns (K,). Mirrors feedback_rollout vmapped over candidates."""
+    kc = alphas.shape[0]
+    kp = 128  # one folded lane block
+    dtype = pol_actions.dtype
+    pad = lambda x: jnp.concatenate(
+        [x, jnp.zeros((kp - kc,), dtype)])
+    values = jnp.stack([pad(alphas), pad(scales)])
+    qpos0 = jnp.tile(d0.qpos.astype(dtype)[:, None], (1, kp))
+    qvel0 = jnp.tile(d0.qvel.astype(dtype)[:, None], (1, kp))
+    aux0 = jnp.zeros((naux0,), dtype)
+    if lane_spec["naux"] > 0:
+      aux0 = make_aux(d0, residual_params).astype(dtype)
+    # per-step blocks: u_nom, k, K (row-major), x_nom — final block
+    # pads k/K with zeros (the pipeline's appended last action)
+    u_pad = jnp.concatenate([pol_actions[:-1], pol_actions[-1:]], 0)
+    k_pad = jnp.concatenate([ks, jnp.zeros((1, nu), dtype)], 0)
+    km_pad = jnp.concatenate([kmats, jnp.zeros((1, nu, nx), dtype)], 0)
+    blocks = jnp.concatenate([
+        u_pad, k_pad, km_pad.reshape(horizon, nu * nx),
+        pol_states.astype(dtype)], axis=1)          # (H, stride)
+    aux = jnp.concatenate([aux0, blocks.reshape(-1)])
+    aux = jnp.tile(aux[:, None], (1, kp))
+    out = kernel(qpos0, qvel0, values, aux)         # (H, nq+nv+nr, kp)
+    states = jnp.moveaxis(out[:, :nq + nv, :kc], 2, 0)   # (K,H,S)
+    res = jnp.moveaxis(out[:, nq + nv:, :kc], 2, 0)      # (K,H,nr)
+    costs = cs.cost(res)                                  # (K,H)
+    ok = jnp.all(jnp.isfinite(states), axis=(1, 2)) & \
+        (jnp.max(jnp.abs(states), axis=(1, 2)) < 1e7) & \
+        jnp.all(jnp.isfinite(costs), axis=1)
+    totals = jnp.where(ok, jnp.sum(costs, axis=1) / horizon,
+                       rollout_lib.MAX_RETURN_VALUE)
+    # executed actions, recomputed from the recorded states (the kernel
+    # records states + residuals; u is a cheap einsum outside)
+    dx = states - pol_states[None, :, :]
+    u_fb = jnp.einsum("tux,ktx->ktu", km_pad, dx)
+    u_all = (u_pad[None] + alphas[:, None, None] * k_pad[None]
+             + scales[:, None, None] * u_fb)
+    actions = jnp.clip(u_all, jnp.asarray(lo, dtype),
+                       jnp.asarray(hi, dtype))
+    return states, actions, totals
+
+  return rollouts
+
+
 def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
                      config: ILQGConfig, mesh=None,
-                     residual_fn_with_params=None):
+                     residual_fn_with_params=None, lane_spec=None,
+                     lane_interpret: bool = False):
   horizon = config.horizon
   nx = deriv.ndx(m)
   lo_ctrl = m.actuator_ctrlrange[:, 0]
   hi_ctrl = m.actuator_ctrlrange[:, 1]
   cost_spec_default = cost_spec
+  lane_fb = None
+  if lane_spec is not None:
+    lane_fb = _make_lane_feedback(m, lane_spec, horizon, lane_interpret)
 
   def feedback_rollout(rf, cf, d0, pol_states, pol_actions, ks, kmats,
                        alpha, fb_scale):
@@ -282,26 +384,40 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
     #    (NominalTrajectory/FeedbackRollouts, planner.cc:167-223,683-712):
     #    log-scaled scales with a final 0 (pure feedforward replay)
     zero_k = jnp.zeros_like(policy.actions[:-1])
+
+    def batch_rollouts(pol_states, pol_actions, ks, kmats, alphas,
+                       scales):
+      """K feedback rollouts: lane kernel (one Pallas call, candidates
+      on lanes) when available, else vmapped XLA scans."""
+      if lane_fb is not None:
+        return lane_fb(d0, pol_states, pol_actions, ks, kmats, alphas,
+                       scales, residual_params, cs)
+      return jax.vmap(
+          lambda al, s: feedback_rollout(rf, cf, d0, pol_states,
+                                         pol_actions, ks, kmats, al, s))(
+              alphas, scales)
+
     if config.nominal_feedback_scaling and config.num_fb_scales > 1:
       n_s = config.num_fb_scales
       fb_scales = jnp.concatenate([
           jnp.logspace(0.0, jnp.log10(config.min_linesearch_step), n_s - 1,
                        dtype=dtype),
           jnp.zeros((1,), dtype)])
-      nom_states, nom_actions, nom_returns = jax.vmap(
-          lambda s: feedback_rollout(rf, cf, d0, policy.states,
-                                     policy.actions, zero_k,
-                                     policy.gains[:-1], jnp.zeros((), dtype),
-                                     s))(fb_scales)
+      nom_states, nom_actions, nom_returns = batch_rollouts(
+          policy.states, policy.actions, zero_k, policy.gains[:-1],
+          jnp.zeros((n_s,), dtype), fb_scales)
       best_nom = jnp.argmin(nom_returns)
       states = nom_states[best_nom]
       actions = nom_actions[best_nom]
       nominal_return = nom_returns[best_nom]
       feedback_scaling = fb_scales[best_nom]
     else:
-      states, actions, nominal_return = feedback_rollout(
-          rf, cf, d0, policy.states, policy.actions, zero_k,
-          policy.gains[:-1], jnp.zeros((), dtype), jnp.ones((), dtype))
+      nom_states, nom_actions, nom_returns = batch_rollouts(
+          policy.states, policy.actions, zero_k, policy.gains[:-1],
+          jnp.zeros((1,), dtype), jnp.ones((1,), dtype))
+      states = nom_states[0]
+      actions = nom_actions[0]
+      nominal_return = nom_returns[0]
       feedback_scaling = jnp.ones((), dtype)
     times = template.time + m.opt.timestep * jnp.arange(horizon, dtype=dtype)
 
@@ -340,9 +456,9 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
         jnp.logspace(0.0, jnp.log10(config.min_linesearch_step),
                      config.num_alphas - 1, dtype=dtype),
         jnp.zeros((1,), dtype)])
-    ls_states, ls_actions, ls_returns = jax.vmap(
-        lambda al: feedback_rollout(rf, cf, d0, states, actions, ks, kmats,
-                                    al, jnp.ones((), dtype)))(alphas)
+    ls_states, ls_actions, ls_returns = batch_rollouts(
+        states, actions, ks, kmats, alphas,
+        jnp.ones((config.num_alphas,), dtype))
     best = jnp.argmin(ls_returns)
     best_return = ls_returns[best]
     improved = best_return < nominal_return
@@ -397,16 +513,44 @@ class ILQGPlanner:
   """Host-side wrapper (reference GUI name: "iLQG")."""
 
   def __init__(self, task, config: Optional[ILQGConfig] = None,
-               dtype=jnp.float32):
+               dtype=jnp.float32, lane: Optional[bool] = None):
     self.task = task
     self.m = getattr(task, "plan_model", task.model)
     self.config = config or make_config(task)
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
+    lane_spec = self._lane_spec(task, lane)
     self._optimize = jax.jit(make_optimize_fn(
         self.m, residual_fn, task.cost_spec.cost, task.cost_spec,
-        self.config, residual_fn_with_params=task.residual))
+        self.config, residual_fn_with_params=task.residual,
+        lane_spec=lane_spec,
+        lane_interpret=jax.devices()[0].platform != "tpu"))
     self.policy = initial_policy(self.m, self.config, task.make_data(),
                                  dtype)
+
+  def _lane_spec(self, task, lane):
+    """Lane-kernel line-search rollouts: auto on TPU for quat-free
+    lane-eligible tasks (lane=True forces interpret mode off-TPU for
+    tests; lane=False disables)."""
+    if lane is None:
+      lane = (jax.devices()[0].platform == "tpu"
+              and os.environ.get("MJPC_TPU_LANE", "1") != "0")
+    if not lane or not hasattr(task, "lane_residual_spec"):
+      return None
+    from mujoco_mpc_tpu.ops import step_lane
+    m = self.m
+    if int(m.nq) != int(m.nv) or int(m.na) != 0:
+      return None  # quat-free only: state_diff must be subtraction
+    if not step_lane.supports(
+        m, ground_only=True,
+        body_pairs=bool(getattr(task, "plan_body_pairs", False))):
+      return None
+    lane_modes = getattr(task, "lane_modes", None)
+    if lane_modes is not None and int(task.mode) not in lane_modes:
+      return None
+    try:
+      return task.lane_residual_spec()
+    except TypeError:
+      return None  # time-varying specs (mocap clips) need horizon wiring
 
   def optimize(self, key, d0: Data):
     self.policy, info = self._optimize(key, d0, self.policy,

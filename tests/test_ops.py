@@ -491,6 +491,81 @@ def test_lane_kernel_quadrotor_site_transmission_exact():
     qp, qv = qp2, qv2
 
 
+def test_lane_kernel_swimmer_fluid_exact():
+  """In-kernel inertia-box fluid (viscosity/density): swimmer dynamics
+  match the pipeline step exactly. Before this the kernel silently
+  dropped fluid forces — the swimmer cannot swim without them."""
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Swimmer")
+  m = getattr(task, "plan_model", task.model)
+  assert float(jax.device_get(m.opt.viscosity)) > 0
+  spec = task.lane_residual_spec()
+  kernel = step_lane.build_rollout_kernel(
+      m, 3, 2, interpret=True, contact_types=(),
+      residual_fn=spec["fn"], residual_dim=spec["dim"],
+      naux=spec["naux"])
+  step_fn = jax.jit(kernel.step_array)
+  rng = np.random.default_rng(23)
+  d0 = task.make_data()
+  k_c = 3
+  qpos0 = (np.tile(np.asarray(jax.device_get(d0.qpos))[:, None],
+                   (1, k_c))
+           + 0.1 * rng.standard_normal((m.nq, k_c)))
+  qvel0 = 0.3 * rng.standard_normal((m.nv, k_c))
+  ctrl = jnp.asarray(rng.uniform(-0.5, 0.5, (m.nu, k_c)), jnp.float32)
+  aux = jnp.asarray(np.tile(np.asarray(jax.device_get(
+      spec["make_aux"](d0, task.residual_params)))[:, None], (1, k_c)),
+      jnp.float32)
+  step = jax.jit(lambda d: F.step(m, d))
+  qp = jnp.asarray(qpos0, jnp.float32)
+  qv = jnp.asarray(qvel0, jnp.float32)
+  for t in range(3):
+    qp2, qv2, _ = step_fn(qp, qv, ctrl, jnp.asarray(t, jnp.int32), aux)
+    for k in range(k_c):
+      d = d0.replace(qpos=qp[:, k], qvel=qv[:, k], ctrl=ctrl[:, k])
+      dn = step(d)
+      np.testing.assert_allclose(np.asarray(qp2[:, k]),
+                                 np.asarray(dn.qpos), atol=2e-6,
+                                 err_msg=f"qpos t={t} k={k}")
+      np.testing.assert_allclose(np.asarray(qv2[:, k]),
+                                 np.asarray(dn.qvel), atol=5e-5,
+                                 err_msg=f"qvel t={t} k={k}")
+    qp, qv = qp2, qv2
+
+
+def test_ilqg_lane_rollouts_match_pipeline():
+  """iLQG's lane-kernel line-search rollouts: same returns / chosen
+  alpha as the vmapped pipeline feedback rollouts (acrobot, tiny
+  shapes so Pallas interpret mode stays fast)."""
+  from mujoco_mpc_tpu.planners import ilqg as ilqg_lib
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Acrobot")
+  cfg = ilqg_lib.make_config(task).replace(
+      horizon=4, num_alphas=3, num_fb_scales=2)
+  d0 = F.forward(task.model, task.make_data())
+  p_ref = ilqg_lib.ILQGPlanner(task, cfg, lane=False)
+  p_lane = ilqg_lib.ILQGPlanner(task, cfg, lane=True)
+  key = jax.random.PRNGKey(0)
+  for it in range(2):
+    ia = p_ref.optimize(key, d0)
+    ib = p_lane.optimize(key, d0)
+    np.testing.assert_allclose(float(ia["nominal_return"]),
+                               float(ib["nominal_return"]),
+                               rtol=1e-3, err_msg=f"nominal it={it}")
+    np.testing.assert_allclose(float(ia["best_return"]),
+                               float(ib["best_return"]),
+                               rtol=1e-3, err_msg=f"best it={it}")
+  # the policies the two paths carry must match closely too
+  np.testing.assert_allclose(np.asarray(p_lane.policy.actions),
+                             np.asarray(p_ref.policy.actions),
+                             atol=1e-3)
+
+
 def test_lane_kernel_tracking_residual_matches_pipeline():
   """Humanoid Track lane spec: the time-varying clip targets ride
   per-step aux rows gathered with ctx['aux_dyn']; rows must match the
