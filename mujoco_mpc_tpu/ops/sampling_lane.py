@@ -24,12 +24,25 @@ from mujoco_mpc_tpu.ops import step_lane
 from mujoco_mpc_tpu.planners import sampling
 
 
-def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
-                          interpret: bool = False, solver_iters=None,
-                          solver_ls_iters=None, contact_types=None,
-                          unroll: bool = True, mesh=None,
-                          contact_geoms="task"):
-  """Jittable optimizer for lane-kernel-eligible tasks.
+def make_lane_returns_fn(task, config, interpret: bool = False,
+                         solver_iters=None, solver_ls_iters=None,
+                         contact_types=None, unroll: bool = True,
+                         mesh=None, contact_geoms="task"):
+  """Jittable candidate scorer on the lane kernel.
+
+  Returns `returns_fn(candidates, d0, residual_params=None,
+  cost_spec=None)` mapping a (K, P, nu) batch of spline node sets to
+  their (K,) trajectory returns (horizon-mean weighted cost, divergent
+  rollouts poisoned to 1e6). This is the shared hot path of every
+  sampling-family planner — predictive sampling, cross-entropy, and
+  sample-gradient differ only in how they GENERATE candidates and
+  UPDATE the policy from the returns, which stays in XLA.
+
+  `config` needs `num_spline_points`, `horizon`, `interp` (must be
+  zero-order-hold) — SamplingConfig, CEMConfig, and
+  SampleGradientConfig all qualify. K is read from the candidate batch
+  at trace time, so one scorer serves differently-sized batches (e.g.
+  sample-gradient's noisy vs gradient candidate sets).
 
   Residuals come from one of two task hooks, preferred in order:
   1. `lane_residual_spec()` — the residual is evaluated IN-KERNEL per
@@ -66,7 +79,6 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   horizon = config.horizon
   p = config.num_spline_points
   nu, nq, nv = m.nu, m.nq, m.nv
-  k_total = config.num_trajectory
   if contact_geoms == "task":
     # planning-contact whitelist (e.g. feet + trunk) declared by the task
     contact_geoms = getattr(task, "plan_contact_geoms", None)
@@ -106,9 +118,6 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   if mesh is not None:
     from jax.sharding import PartitionSpec as P
     axis = mesh.axis_names[0]
-    assert k_total % mesh.shape[axis] == 0, (
-        f"num_trajectory={k_total} must divide the {mesh.shape[axis]}-way "
-        f"'{axis}' mesh axis")
     lane = P(None, axis)
     if spec is not None:
       kernel = jax.shard_map(
@@ -120,9 +129,10 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
           kernel, mesh=mesh, in_specs=(lane, lane, lane),
           out_specs=P(None, None, axis), check_vma=False)
 
-  def optimize(key, d0, policy: spline_lib.SplinePolicy,
-               residual_params=None, cost_spec=None):
-    """residual_params / cost_spec passed at call time so
+  def returns_fn(candidates, d0, residual_params=None, cost_spec=None):
+    """(K, P, nu) candidate node sets → (K,) returns (1e6 on divergence).
+
+    residual_params / cost_spec passed at call time so
     SetTaskParameters / SetCostWeights-style updates reach the jitted
     program (traced args, not baked closure constants); None falls back
     to the task's build-time values."""
@@ -130,23 +140,23 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
       residual_params = task.residual_params
     if cost_spec is None:
       cost_spec = task.cost_spec
-    dtype = policy.values.dtype
-    horizon_time = (horizon - 1) * m.opt.timestep
-    policy = spline_lib.resample(policy, d0.time, horizon_time)
-
-    noisy = sampling.add_noise(key, policy.values, m, config.exploration,
-                               k_total - 1)
-    candidates = jnp.concatenate([policy.values[None], noisy], axis=0)
+    k = candidates.shape[0]
+    if mesh is not None:
+      n_shards = mesh.shape[mesh.axis_names[0]]
+      assert k % n_shards == 0, (
+          f"candidate count {k} must divide the {n_shards}-way "
+          f"'{mesh.axis_names[0]}' mesh axis")
+    dtype = candidates.dtype
 
     # kernel layout: candidates on the last axis
-    values_lane = candidates.reshape(k_total, p * nu).T  # (P*nu, K)
-    qpos0 = jnp.tile(d0.qpos[:, None], (1, k_total))
-    qvel0 = jnp.tile(d0.qvel[:, None], (1, k_total))
+    values_lane = candidates.reshape(k, p * nu).T  # (P*nu, K)
+    qpos0 = jnp.tile(d0.qpos[:, None], (1, k))
+    qvel0 = jnp.tile(d0.qvel[:, None], (1, k))
     if spec is not None and cost_terms is not None:
       aux_rows = jnp.concatenate([
           spec["make_aux"](d0, residual_params).astype(dtype),
           cost_spec.norm_params[:, :2].reshape(-1).astype(dtype)])
-      aux = jnp.tile(aux_rows[:, None], (1, k_total))
+      aux = jnp.tile(aux_rows[:, None], (1, k))
       term_sums, final_state = kernel(qpos0, qvel0, values_lane, aux)
       # mean over horizon of the weighted per-step cost == weighted
       # per-term sums / horizon (risk-neutral; gated at build time)
@@ -156,7 +166,7 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
     elif spec is not None:
       aux = jnp.tile(
           spec["make_aux"](d0, residual_params)[:, None].astype(dtype),
-          (1, k_total))
+          (1, k))
       residuals, final_state = kernel(qpos0, qvel0, values_lane, aux)
       states = final_state[None]                    # (1, nq+nv, K)
       costs = cost_spec.cost(jnp.moveaxis(residuals, 1, -1))  # (H, K)
@@ -170,8 +180,32 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
                                              residual_params)
       costs = cost_spec.cost(jnp.moveaxis(residuals, 1, -1))  # (H, K)
       returns = jnp.mean(costs, axis=0)
-    returns = jnp.where(
+    return jnp.where(
         jnp.all(jnp.isfinite(states[-1]), axis=0), returns, 1e6)
+
+  return returns_fn
+
+
+def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
+                          interpret: bool = False, **kernel_kw):
+  """Jittable predictive-sampling optimizer for lane-eligible tasks:
+  noise generation + ONE lane-kernel scoring call + argmin. See
+  make_lane_returns_fn for the residual hooks and mesh sharding."""
+  m = getattr(task, "plan_model", task.model)
+  horizon = config.horizon
+  k_total = config.num_trajectory
+  returns_fn = make_lane_returns_fn(task, config, interpret=interpret,
+                                    **kernel_kw)
+
+  def optimize(key, d0, policy: spline_lib.SplinePolicy,
+               residual_params=None, cost_spec=None):
+    horizon_time = (horizon - 1) * m.opt.timestep
+    policy = spline_lib.resample(policy, d0.time, horizon_time)
+
+    noisy = sampling.add_noise(key, policy.values, m, config.exploration,
+                               k_total - 1)
+    candidates = jnp.concatenate([policy.values[None], noisy], axis=0)
+    returns = returns_fn(candidates, d0, residual_params, cost_spec)
 
     winner = jnp.argmin(returns)
     new_policy = policy.replace(values=candidates[winner])

@@ -72,7 +72,12 @@ def initial_state(m: Model, config: CEMConfig, dtype=jnp.float32) -> CEMState:
 
 
 def make_optimize_fn(m: Model, residual_fn, cost_fn, config: CEMConfig,
-                     mesh=None, residual_fn_with_params=None):
+                     mesh=None, residual_fn_with_params=None,
+                     returns_fn=None):
+  """returns_fn, if given, scores the candidate batch in one call
+  ((K, P, nu) → (K,) returns) and replaces the vmapped XLA rollouts —
+  this is how CEM rides the lane kernel (ops/sampling_lane.py
+  make_lane_returns_fn); elite refit stays in XLA."""
   horizon = config.horizon
   k = config.num_trajectory
   n_elite = min(config.n_elite, k)
@@ -109,23 +114,29 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, config: CEMConfig,
       candidates = jax.lax.with_sharding_constraint(
           candidates, NamedSharding(mesh, P(tuple(mesh.axis_names))))
 
-    trajs = jax.vmap(
-        lambda v: rollout_one(rf, cf, v, policy.t0, policy.dt, d0))(
-            candidates)
+    if returns_fn is not None:
+      rets = returns_fn(candidates, d0, residual_params, cost_spec)
+      failures = jnp.sum(rets >= 1e6)
+    else:
+      trajs = jax.vmap(
+          lambda v: rollout_one(rf, cf, v, policy.t0, policy.dt, d0))(
+              candidates)
+      rets = trajs.total_return
+      failures = jnp.sum(trajs.failure)
 
     # elites: n_elite best returns
-    neg_ret, elite_idx = jax.lax.top_k(-trajs.total_return, n_elite)
+    neg_ret, elite_idx = jax.lax.top_k(-rets, n_elite)
     elites = candidates[elite_idx]  # (n_elite, P, nu)
     mean = jnp.mean(elites, axis=0)
     var = jnp.sum((elites - mean[None])**2, axis=0) / max(n_elite - 1, 1)
 
     new_policy = policy.replace(values=mean)
     info = {
-        "returns": trajs.total_return,
+        "returns": rets,
         "best_return": -neg_ret[0],
         "elite_avg_return": jnp.mean(-neg_ret),
         "winner": elite_idx[0],
-        "failures": jnp.sum(trajs.failure),
+        "failures": failures,
     }
     return CEMState(policy=new_policy, variance=var), info
 
@@ -136,14 +147,20 @@ class CrossEntropyPlanner:
   """Host-side wrapper (reference GUI name: "Cross Entropy")."""
 
   def __init__(self, task, config: Optional[CEMConfig] = None,
-               dtype=jnp.float32):
+               dtype=jnp.float32, lane: bool = False, interpret: bool = False,
+               **kernel_kw):
     self.task = task
     self.m = getattr(task, "plan_model", task.model)
     self.config = config or make_config(task, dtype)
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
+    returns_fn = None
+    if lane:
+      from mujoco_mpc_tpu.ops import sampling_lane
+      returns_fn = sampling_lane.make_lane_returns_fn(
+          task, self.config, interpret=interpret, **kernel_kw)
     self._optimize = jax.jit(make_optimize_fn(
         self.m, residual_fn, task.cost_spec.cost, self.config,
-        residual_fn_with_params=task.residual))
+        residual_fn_with_params=task.residual, returns_fn=returns_fn))
     self.state = initial_state(self.m, self.config, dtype)
 
   def optimize(self, key, d0: Data):

@@ -84,7 +84,12 @@ def _fitness_weights(num_noisy: int, dtype) -> jax.Array:
 
 def make_optimize_fn(m: Model, residual_fn, cost_fn,
                      config: SampleGradientConfig, mesh=None,
-                     residual_fn_with_params=None):
+                     residual_fn_with_params=None, returns_fn=None):
+  """returns_fn, if given, scores each candidate batch in one call
+  ((K, P, nu) → (K,) returns) on the lane kernel
+  (ops/sampling_lane.py make_lane_returns_fn) instead of vmapped XLA
+  rollouts; it is called twice per iteration — noisy samples, then the
+  gradient candidates that depend on their ranking."""
   horizon = config.horizon
   n_grad = config.num_gradient
   n_noisy = config.num_trajectory - n_grad
@@ -120,8 +125,11 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
                           m.actuator_ctrlrange[:, 0],
                           m.actuator_ctrlrange[:, 1])
     noisy_all = jnp.concatenate([policy.values[None], noisy_vals], axis=0)
-    noisy_rets = jax.vmap(
-        lambda v: ret_of(rf, cf, v, policy.t0, policy.dt, d0))(noisy_all)
+    if returns_fn is not None:
+      noisy_rets = returns_fn(noisy_all, d0, residual_params, cost_spec)
+    else:
+      noisy_rets = jax.vmap(
+          lambda v: ret_of(rf, cf, v, policy.t0, policy.dt, d0))(noisy_all)
 
     # fitness-shaped gradient over noisy samples (exclude nominal idx 0)
     order = jnp.argsort(noisy_rets[1:])  # best first
@@ -138,8 +146,11 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
     grad_vals = policy.values[None] - scaling[:, None, None] * grad[None]
     grad_vals = jnp.clip(grad_vals, m.actuator_ctrlrange[:, 0],
                          m.actuator_ctrlrange[:, 1])
-    grad_rets = jax.vmap(
-        lambda v: ret_of(rf, cf, v, policy.t0, policy.dt, d0))(grad_vals)
+    if returns_fn is not None:
+      grad_rets = returns_fn(grad_vals, d0, residual_params, cost_spec)
+    else:
+      grad_rets = jax.vmap(
+          lambda v: ret_of(rf, cf, v, policy.t0, policy.dt, d0))(grad_vals)
 
     all_vals = jnp.concatenate([noisy_all, grad_vals], axis=0)
     all_rets = jnp.concatenate([noisy_rets, grad_rets], axis=0)
@@ -163,14 +174,20 @@ class SampleGradientPlanner:
   """Host-side wrapper (reference GUI name: "Sample Gradient")."""
 
   def __init__(self, task, config: Optional[SampleGradientConfig] = None,
-               dtype=jnp.float32):
+               dtype=jnp.float32, lane: bool = False, interpret: bool = False,
+               **kernel_kw):
     self.task = task
     self.m = getattr(task, "plan_model", task.model)
     self.config = config or make_config(task, dtype)
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
+    returns_fn = None
+    if lane:
+      from mujoco_mpc_tpu.ops import sampling_lane
+      returns_fn = sampling_lane.make_lane_returns_fn(
+          task, self.config, interpret=interpret, **kernel_kw)
     self._optimize = jax.jit(make_optimize_fn(
         self.m, residual_fn, task.cost_spec.cost, self.config,
-        residual_fn_with_params=task.residual))
+        residual_fn_with_params=task.residual, returns_fn=returns_fn))
     self.state = initial_state(self.m, self.config, dtype)
 
   def optimize(self, key, d0: Data):

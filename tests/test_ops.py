@@ -734,3 +734,106 @@ def test_lane_kernel_allegro_residual_matches_pipeline():
     ref = task.residual(m, fwd(d), task.residual_params)
     np.testing.assert_allclose(np.asarray(res[:, k]), np.asarray(ref),
                                atol=5e-4, err_msg=f"k={k}")
+
+
+def test_lane_returns_fn_matches_discrete_reference():
+  """make_lane_returns_fn — the shared scorer behind the lane sampling /
+  CEM / sample-gradient fast paths — matches a jnp rollout applying the
+  SAME zero-hold node schedule and the task's cost pipeline."""
+  from mujoco_mpc_tpu import rollout as RL
+  from mujoco_mpc_tpu.ops import sampling_lane
+  from mujoco_mpc_tpu.planners import sampling
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Particle")
+  m = task.model
+  h_hor, p_nodes, k = 13, 4, 6
+  config = sampling.make_config(task).replace(
+      num_trajectory=k, num_spline_points=p_nodes, horizon=h_hor)
+  returns_fn = jax.jit(
+      sampling_lane.make_lane_returns_fn(task, config, interpret=True))
+
+  rng = np.random.default_rng(11)
+  d0 = task.make_data()
+  lo = np.asarray(jax.device_get(m.actuator_ctrlrange[:, 0]))
+  hi = np.asarray(jax.device_get(m.actuator_ctrlrange[:, 1]))
+  candidates = jnp.asarray(
+      rng.uniform(lo, hi, (k, p_nodes, m.nu)), jnp.float32)
+  rets = returns_fn(candidates, d0, task.residual_params, task.cost_spec)
+
+  # jnp reference applying the SAME discrete node schedule (avoids
+  # f32 node-boundary roundoff, cf. test_lane_rollout_kernel)
+  node_of = jnp.asarray(
+      [min(int(t * p_nodes / (h_hor - 1)), p_nodes - 1)
+       for t in range(h_hor)], jnp.int32)
+  dt = float(jax.device_get(m.opt.timestep))
+
+  def ret_one(vals):
+    def action(state, time):
+      idx = jnp.clip(jnp.round((time - d0.time) / dt).astype(jnp.int32),
+                     0, h_hor - 1)
+      return vals[node_of[idx]]
+    rf = lambda mm, dd: task.residual(mm, dd, task.residual_params)
+    return RL.rollout(m, rf, task.cost_spec.cost, action, d0,
+                      h_hor).total_return
+
+  ref = jax.vmap(ret_one)(candidates)
+  np.testing.assert_allclose(np.asarray(rets), np.asarray(ref),
+                             rtol=2e-4, atol=2e-5)
+
+
+def test_lane_cem_particle():
+  """CEM on the lane fast path plans the particle task: elite refit from
+  lane-kernel returns tracks the goal (behavior-class check — the lane
+  node schedule and the continuous XLA spline differ at node-boundary
+  f32 roundoff, so exact cross-path return parity is not expected; the
+  scorer itself is verified exactly above)."""
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.planners import cross_entropy as cem
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Particle")
+  m = task.model
+  config = cem.make_config(task).replace(
+      num_trajectory=8, n_elite=3, horizon=21)
+  planner = cem.CrossEntropyPlanner(task, config, lane=True,
+                                    interpret=True)
+  step = jax.jit(lambda d: F.step(m, d))
+  d = task.make_data()
+  key = jax.random.PRNGKey(0)
+  for t in range(60):
+    for _ in range(2):
+      key, sub = jax.random.split(key)
+      info = planner.optimize(sub, d)
+    u = planner.action(d.time)
+    d = step(d.replace(ctrl=u))
+  r = task.residual(m, F.forward(m, d), task.residual_params)
+  dist = float(jnp.linalg.norm(r[:2]))
+  assert np.isfinite(float(info["best_return"]))
+  assert int(info["failures"]) == 0
+  assert dist < 0.15, f"particle {dist} from goal (lane CEM)"
+
+
+def test_lane_sample_gradient_particle():
+  """Sample-Gradient on the lane fast path: both candidate batches
+  (noisy + gradient) score on the lane kernel; the planner strictly
+  improves the nominal return on the particle task."""
+  from mujoco_mpc_tpu.planners import sample_gradient as sg
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Particle")
+  config = sg.make_config(task).replace(
+      num_trajectory=10, num_gradient=3, horizon=21)
+  planner = sg.SampleGradientPlanner(task, config, lane=True,
+                                     interpret=True)
+  d0 = task.make_data()
+  key = jax.random.PRNGKey(4)
+  rets = []
+  for _ in range(6):
+    key, sub = jax.random.split(key)
+    info = planner.optimize(sub, d0)
+    rets.append(float(info["best_return"]))
+  assert all(np.isfinite(rets))
+  assert rets[-1] < float(info["nominal_return"]) or \
+      rets[-1] < rets[0], f"no improvement: {rets}"
+  assert min(rets) < rets[0], f"no strict improvement: {rets}"
