@@ -93,30 +93,59 @@ class Agent:
     return rollout_lib.set_state(
         self.m, self.data, jnp.asarray(self.estimator.state))
 
-  def _make_planner(self, name: str):
-    if name in ("Sampling", "Predictive Sampling"):
-      # transparently use the lane-kernel fast path on TPU when the
-      # task/model qualify (in-kernel residual scoring; 20-80x the
-      # vmapped pipeline on the quadruped benchmark, ops/README.md)
-      if (jax.devices()[0].platform == "tpu"
-          and os.environ.get("MJPC_TPU_LANE", "1") != "0"):
-        try:
-          from mujoco_mpc_tpu.ops import sampling_lane, step_lane
-          m = getattr(self.task, "plan_model", self.task.model)
-          # tasks with mode machines may support the lane residual in a
-          # subset of modes only (e.g. quadruped: Quadruped mode)
-          lane_modes = getattr(self.task, "lane_modes", None)
-          mode_ok = (lane_modes is None
-                     or int(self.task.mode) in lane_modes)
-          if (mode_ok and step_lane.supports(
+  def _lane_eligible(self) -> bool:
+    """True when the task/model qualify for the lane-kernel fast path
+    on this backend (in-kernel residual scoring; 20-80x the vmapped
+    pipeline on the quadruped benchmark, ops/README.md)."""
+    if (jax.devices()[0].platform != "tpu"
+        or os.environ.get("MJPC_TPU_LANE", "1") == "0"):
+      return False
+    try:
+      from mujoco_mpc_tpu.ops import step_lane
+      m = getattr(self.task, "plan_model", self.task.model)
+      # tasks with mode machines may support the lane residual in a
+      # subset of modes only (e.g. quadruped: Quadruped mode)
+      lane_modes = getattr(self.task, "lane_modes", None)
+      mode_ok = (lane_modes is None
+                 or int(self.task.mode) in lane_modes)
+      return bool(
+          mode_ok and step_lane.supports(
               m, ground_only=True,
               body_pairs=bool(getattr(self.task, "plan_body_pairs",
                                       False)))
-              and (hasattr(self.task, "lane_residual_spec")
-                   or hasattr(self.task, "residual_from_rollout"))):
-            return sampling_lane.LaneSamplingPlanner(self.task)
-        except Exception:
-          pass  # fall back to the pipeline planner
+          and (hasattr(self.task, "lane_residual_spec")
+               or hasattr(self.task, "residual_from_rollout")))
+    except Exception:
+      return False
+
+  def _make_planner(self, name: str):
+    # transparently use the lane-kernel fast path on TPU when the
+    # task/model qualify; all sampling-family planners share the
+    # make_lane_returns_fn candidate scorer (ops/sampling_lane.py)
+    if name in ("Sampling", "Predictive Sampling") and self._lane_eligible():
+      try:
+        from mujoco_mpc_tpu.ops import sampling_lane
+        return sampling_lane.LaneSamplingPlanner(self.task)
+      except Exception:
+        pass  # fall back to the pipeline planner
+    if name == "Cross Entropy" and self._lane_eligible():
+      try:
+        from mujoco_mpc_tpu.planners import cross_entropy
+        return cross_entropy.CrossEntropyPlanner(self.task, lane=True)
+      except Exception:
+        pass  # e.g. non-zero-hold spline config
+    if name == "Sample Gradient" and self._lane_eligible():
+      try:
+        from mujoco_mpc_tpu.planners import sample_gradient
+        return sample_gradient.SampleGradientPlanner(self.task, lane=True)
+      except Exception:
+        pass
+    if name == "iLQS" and self._lane_eligible():
+      try:
+        from mujoco_mpc_tpu.planners import ilqs
+        return ilqs.ILQSPlanner(self.task, lane=True)
+      except Exception:
+        pass
     return planner_base.make_planner(self.task, name)
 
   # -- control loop ----------------------------------------------------------
@@ -236,7 +265,8 @@ class Agent:
     return out
 
   def set_mode(self, mode: str):
-    was_lane = type(self.planner).__name__ == "LaneSamplingPlanner"
+    was_lane = (type(self.planner).__name__ == "LaneSamplingPlanner"
+                or getattr(self.planner, "lane", False))
     self.task.set_mode_by_name(mode)
     # lane-kernel planners score a single-mode residual (task.lane_modes);
     # switching out of that mode set falls back to the pipeline planner

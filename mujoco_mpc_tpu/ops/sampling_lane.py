@@ -194,6 +194,14 @@ def make_lane_optimize_fn(task, config: sampling.SamplingConfig,
   m = getattr(task, "plan_model", task.model)
   horizon = config.horizon
   k_total = config.num_trajectory
+  mesh = kernel_kw.get("mesh")
+  if mesh is not None:
+    # fail at build time with a clear message, not a shard_map shape
+    # error at run time
+    n_shards = mesh.shape[mesh.axis_names[0]]
+    assert k_total % n_shards == 0, (
+        f"num_trajectory={k_total} must divide the {n_shards}-way "
+        f"'{mesh.axis_names[0]}' mesh axis")
   returns_fn = make_lane_returns_fn(task, config, interpret=interpret,
                                     **kernel_kw)
 

@@ -158,6 +158,9 @@ class CrossEntropyPlanner:
       from mujoco_mpc_tpu.ops import sampling_lane
       returns_fn = sampling_lane.make_lane_returns_fn(
           task, self.config, interpret=interpret, **kernel_kw)
+    # lane scorers bake a single-mode residual; the Agent rebuilds the
+    # planner on mode switches when this is set (agent.set_mode)
+    self.lane = returns_fn is not None
     self._optimize = jax.jit(make_optimize_fn(
         self.m, residual_fn, task.cost_spec.cost, self.config,
         residual_fn_with_params=task.residual, returns_fn=returns_fn))

@@ -24,10 +24,21 @@ from mujoco_mpc_tpu.planners import sampling as sampling_lib
 class ILQSPlanner:
   """Host-side wrapper (reference GUI name: "iLQS")."""
 
-  def __init__(self, task, dtype=jnp.float32):
+  def __init__(self, task, dtype=jnp.float32, lane: bool = False,
+               interpret: bool = False, sampler_config=None, **kernel_kw):
     self.task = task
     self.m = getattr(task, "plan_model", task.model)
-    self.sampler = sampling_lib.SamplingPlanner(task, dtype=dtype)
+    if lane:
+      # sampling phase on the Pallas lane kernel (same policy/config
+      # surface as SamplingPlanner; iLQG keeps its own lane line
+      # searches when eligible, planners/ilqg.py)
+      from mujoco_mpc_tpu.ops import sampling_lane
+      self.sampler = sampling_lane.LaneSamplingPlanner(
+          task, sampler_config, interpret=interpret, **kernel_kw)
+    else:
+      self.sampler = sampling_lib.SamplingPlanner(task, sampler_config,
+                                                  dtype=dtype)
+    self.lane = lane
     # match horizons so trajectories are interchangeable
     ilqg_cfg = ilqg_lib.make_config(task).replace(
         horizon=self.sampler.config.horizon)

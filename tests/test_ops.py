@@ -837,3 +837,25 @@ def test_lane_sample_gradient_particle():
   assert rets[-1] < float(info["nominal_return"]) or \
       rets[-1] < rets[0], f"no improvement: {rets}"
   assert min(rets) < rets[0], f"no strict improvement: {rets}"
+
+
+def test_lane_ilqs_particle():
+  """iLQS with its sampling phase on the lane kernel: alternation still
+  improves the particle objective and stays finite."""
+  from mujoco_mpc_tpu.planners import ilqs, sampling
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Particle")
+  cfg = sampling.make_config(task).replace(num_trajectory=6, horizon=13)
+  planner = ilqs.ILQSPlanner(task, lane=True, interpret=True,
+                             sampler_config=cfg)
+  d0 = task.make_data()
+  key = jax.random.PRNGKey(2)
+  rets = []
+  for _ in range(3):
+    key, sub = jax.random.split(key)
+    info = planner.optimize(sub, d0)
+    rets.append(info["best_return"])
+  assert all(np.isfinite(rets)), rets
+  assert min(rets) < rets[0] or rets[-1] <= rets[0]
+  assert planner.active in ("sampling", "ilqg")
