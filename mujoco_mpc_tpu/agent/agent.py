@@ -146,6 +146,12 @@ class Agent:
         return ilqs.ILQSPlanner(self.task, lane=True)
       except Exception:
         pass
+    if name == "Robust Sampling" and self._lane_eligible():
+      try:
+        from mujoco_mpc_tpu.planners import robust
+        return robust.RobustPlanner(self.task, lane=True)
+      except Exception:
+        pass
     return planner_base.make_planner(self.task, name)
 
   # -- control loop ----------------------------------------------------------

@@ -44,7 +44,12 @@ def make_config(task, dtype=jnp.float32) -> RobustConfig:
 def make_optimize_fn(m: Model, residual_fn, cost_fn,
                      s_config: sampling.SamplingConfig,
                      r_config: RobustConfig, mesh=None,
-                     residual_fn_with_params=None):
+                     residual_fn_with_params=None, returns_fn=None):
+  """returns_fn, if given, scores the K clean candidate rollouts — the
+  dominant batch — on the lane kernel (ops/sampling_lane.py
+  make_lane_returns_fn); the N*M OU-perturbed re-rolls keep the XLA
+  noisy_rollout path (per-candidate xfrc noise is generated in the
+  scan, not in the kernel)."""
   horizon = s_config.horizon
   n_cand = min(r_config.num_candidates, s_config.num_trajectory)
   n_rep = r_config.num_repetitions
@@ -86,9 +91,12 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn,
     noisy = sampling.add_noise(
         k1, policy.values, m, s_config.exploration, k_noise)
     candidates = jnp.concatenate([policy.values[None], noisy], axis=0)
-    returns = jax.vmap(
-        lambda v: clean_return(rf, cf, v, policy.t0, policy.dt, d0))(
-            candidates)
+    if returns_fn is not None:
+      returns = returns_fn(candidates, d0, residual_params, cost_spec)
+    else:
+      returns = jax.vmap(
+          lambda v: clean_return(rf, cf, v, policy.t0, policy.dt, d0))(
+              candidates)
 
     # top-N candidates by clean return
     _, top_idx = jax.lax.top_k(-returns, n_cand)
@@ -120,15 +128,25 @@ class RobustPlanner:
   """Host-side wrapper (reference GUI name: "Robust Sampling")."""
 
   def __init__(self, task, s_config: Optional[sampling.SamplingConfig] = None,
-               r_config: Optional[RobustConfig] = None, dtype=jnp.float32):
+               r_config: Optional[RobustConfig] = None, dtype=jnp.float32,
+               lane: bool = False, interpret: bool = False, **kernel_kw):
     self.task = task
     self.m = getattr(task, "plan_model", task.model)
     self.s_config = s_config or sampling.make_config(task, dtype)
     self.r_config = r_config or make_config(task, dtype)
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)
+    returns_fn = None
+    if lane:
+      from mujoco_mpc_tpu.ops import sampling_lane
+      returns_fn = sampling_lane.make_lane_returns_fn(
+          task, self.s_config, interpret=interpret, **kernel_kw)
+    # lane scorers bake a single-mode residual; the Agent rebuilds the
+    # planner on mode switches when this is set (agent.set_mode)
+    self.lane = returns_fn is not None
     self._optimize = jax.jit(make_optimize_fn(
         self.m, residual_fn, task.cost_spec.cost, self.s_config,
-        self.r_config, residual_fn_with_params=task.residual))
+        self.r_config, residual_fn_with_params=task.residual,
+        returns_fn=returns_fn))
     self.policy = sampling.initial_policy(self.m, self.s_config, dtype)
 
   def optimize(self, key, d0: Data):

@@ -78,6 +78,28 @@ def bench_sampling(name, k, horizon, lane=True):
       "rollouts_per_s": round(k / t, 1)}), flush=True)
 
 
+def bench_cem(name, k, horizon):
+  """Cross-entropy on the lane fast path (shared candidate scorer)."""
+  from mujoco_mpc_tpu.planners import cross_entropy as cem
+  task = registry.get_task(name)
+  config = cem.make_config(task).replace(num_trajectory=k, horizon=horizon)
+  planner = cem.CrossEntropyPlanner(task, config, lane=True, unroll=False)
+  d0 = task.make_data()
+  key = [jax.random.PRNGKey(0)]
+
+  def step():
+    key[0], sub = jax.random.split(key[0])
+    planner.optimize(sub, d0)
+    return planner.state.policy.values
+
+  t = steady_state(step)
+  print(json.dumps({
+      "config": name, "planner": "cross_entropy", "path": "lane",
+      "k": k, "horizon": horizon,
+      "ms_per_iteration": round(1e3 * t, 2),
+      "rollouts_per_s": round(k / t, 1)}), flush=True)
+
+
 def bench_ilqg(name, horizon):
   task = registry.get_task(name)
   config = ilqg_lib.make_config(task).replace(horizon=horizon)
@@ -106,6 +128,8 @@ def main():
   bench_sampling("Rubik", k=512, horizon=16)              # config 5
   # reference testspeed.cc default workload (testspeed_app.cc:23-28)
   bench_sampling("Cube Solving", k=512, horizon=16)
+  # cross-entropy on the shared lane scorer (flagship shape)
+  bench_cem("Quadruped Flat", k=4096, horizon=36)
 
 
 if __name__ == "__main__":

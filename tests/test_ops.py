@@ -859,3 +859,32 @@ def test_lane_ilqs_particle():
   assert all(np.isfinite(rets)), rets
   assert min(rets) < rets[0] or rets[-1] <= rets[0]
   assert planner.active in ("sampling", "ilqg")
+
+
+def test_lane_robust_particle():
+  """Robust sampling with clean candidate scoring on the lane kernel
+  (OU re-rolls stay on the XLA noisy_rollout path): improves and picks
+  a winner from the top-N."""
+  from mujoco_mpc_tpu.planners import robust, sampling
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Particle")
+  s_cfg = sampling.make_config(task).replace(num_trajectory=8, horizon=13)
+  planner = robust.RobustPlanner(task, s_cfg, lane=True, interpret=True)
+  assert planner.lane
+  d0 = task.make_data()
+  key = jax.random.PRNGKey(6)
+  for _ in range(3):
+    key, sub = jax.random.split(key)
+    info = planner.optimize(sub, d0)
+    # ranked contract: best_return is the clean return of the robust
+    # winner, drawn from the published per-candidate returns
+    rets = np.asarray(info["returns"])
+    assert np.all(np.isfinite(rets))
+    assert np.isfinite(float(info["robust_return"]))
+    np.testing.assert_allclose(float(info["best_return"]),
+                               rets[int(info["winner"])], rtol=1e-6)
+    # robust winner comes from the top-N clean candidates
+    n_cand = planner.r_config.num_candidates
+    top = np.sort(rets)[:n_cand]
+    assert float(info["best_return"]) <= top[-1] + 1e-6
