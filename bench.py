@@ -179,12 +179,19 @@ def scaling_main():
       best = min(best, (time.perf_counter() - t0) / 5)
     rates[ndev] = per_dev_k * ndev / best
   eff = rates[n] / (n * rates[1])
-  print(json.dumps({
+  out = {
       "metric": f"scaling_efficiency_weak_{n}dev_k{per_dev_k}",
       "value": round(eff, 3),
       "unit": "fraction",
       "vs_baseline": round(eff / 0.8, 3),
-  }))
+  }
+  if jax.devices()[0].platform == "cpu":
+    # N virtual devices share the same physical cores, so perfect weak
+    # scaling is bounded at 1/N — report harness efficiency against
+    # that bound (the real-ICI number comes from multi-chip hardware)
+    out["virtual_core_sharing_bound"] = round(1.0 / n, 3)
+    out["fraction_of_virtual_bound"] = round(eff * n, 3)
+  print(json.dumps(out))
 
 
 def main():

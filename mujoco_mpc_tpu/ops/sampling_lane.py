@@ -1,12 +1,16 @@
-"""Predictive sampling on the lane-parallel rollout kernel.
+"""Sampling-family planning on the lane-parallel rollout kernel.
 
-Fast path for the model class ops/step_lane.py supports (contact-free
-hinge/slide, zero-order-hold splines): one planner iteration = noise
-generation + ONE Pallas kernel call rolling out all candidates + fused
-scoring — measured ~200x faster than the vmapped XLA pipeline for the
-same workload (docs/DESIGN.md).
+Fast path for the model class ops/step_lane.py supports: one planner
+iteration = candidate generation + ONE Pallas kernel call rolling out
+all candidates + fused scoring — measured ~200x faster than the vmapped
+XLA pipeline for the same workload (docs/DESIGN.md).
 
-Tasks opt in by implementing
+`make_lane_returns_fn` is the shared candidate scorer
+((K, P, nu) node sets -> (K,) returns); predictive sampling
+(`make_lane_optimize_fn` / `LaneSamplingPlanner`), cross-entropy,
+sample-gradient, iLQS's sampling phase, and robust sampling's clean
+scoring all ride it. Tasks opt in by implementing
+`lane_residual_spec()` (in-kernel residual) or
 `residual_from_rollout(states, ctrls, times, params)` mapping the
 kernel's raw (H, nq+nv, K) output to (H, nr, K) residuals.
 """
