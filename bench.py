@@ -76,7 +76,8 @@ def measure_tpu_rollouts(task, num_trajectory, horizon, iters,
   pol, info = optimize(key, d0, policy)   # compile + warmup
   jax.block_until_ready(pol.values)
 
-  # best-of-3 trials of `iters` pipelined iterations each (block only at
+  # best-of-N trials (default 5) of `iters` pipelined iterations each
+  # (block only at
   # trial end). Iterations chain policy -> policy on-device, so this is
   # the planner's STEADY-STATE throughput — the reference's plan thread
   # free-runs the same way (mjpc/agent.cc:318-329). Blocking after every
@@ -86,7 +87,7 @@ def measure_tpu_rollouts(task, num_trajectory, horizon, iters,
   # amortizes the one trailing round-trip to <2%. Shared-TPU variance is
   # still 2-3x run to run, hence best-of-3 (docs/BASELINE_PROTOCOL.md).
   best = float("inf")
-  for _ in range(3):
+  for _ in range(int(os.environ.get("BENCH_TRIALS", "5"))):
     t0 = time.perf_counter()
     for i in range(iters):
       key, sub = jax.random.split(key)
@@ -191,6 +192,9 @@ def scaling_main():
     # that bound (the real-ICI number comes from multi-chip hardware)
     out["virtual_core_sharing_bound"] = round(1.0 / n, 3)
     out["fraction_of_virtual_bound"] = round(eff * n, 3)
+    out["caveat"] = ("virtual CPU mesh: N devices share physical cores;"
+                     " this is a harness bound, NOT measured ICI/DCN"
+                     " scaling efficiency")
   print(json.dumps(out))
 
 

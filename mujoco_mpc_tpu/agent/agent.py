@@ -210,8 +210,16 @@ class Agent:
         self.estimator.update(u_np, y)
 
   def run(self, total_time: float, steps_per_plan: int = 4,
-          async_plan: bool = False):
-    """Synchronous (testspeed.cc) or async plan/act loop.
+          pipelined_plan: bool = False):
+    """Synchronous plan/act loop (testspeed.cc semantics).
+
+    pipelined_plan=True skips the post-plan device sync so the plan
+    program overlaps the next step's dispatch via JAX async dispatch —
+    this is DISPATCH PIPELINING in one host thread, not plan/act
+    asynchrony. The real asynchronous plan thread (reference
+    agent.cc:318-329 Plan loop vs physics thread) is AgentRunner
+    (agent/runner.py) + the native double-buffered policy host
+    (runtime/policy_runtime.cc); use that for latency-sensitive serving.
 
     Returns dict of time series: costs, residuals, actions, plan times.
     """
@@ -219,14 +227,14 @@ class Agent:
     costs, actions, plan_times = [], [], []
     for t in range(n_steps):
       if t % steps_per_plan == 0:
-        # async mode relies on jax's async dispatch: plan_iteration
+        # pipelined mode relies on jax's async dispatch: plan_iteration
         # enqueues the planner program and returns before the device
         # finishes; the subsequent step program queues behind it. (A
         # separate planning thread would race device access — see
         # grpc/ui_agent_service.py.) Sync mode blocks to measure latency.
         t0 = time_lib.perf_counter()
         self.plan_iteration()
-        if not async_plan:
+        if not pipelined_plan:
           jax.block_until_ready(
               getattr(self.planner, "policy", self.data).values
               if hasattr(getattr(self.planner, "policy", None), "values")
