@@ -147,15 +147,18 @@ def _contact_rows(m: Model, d: Data):
   solref = jnp.asarray(cp.con_solref, dtype)[sel]
   solimp = jnp.asarray(cp.con_solimp, dtype)[sel]
 
-  contact = Contact(
-      dist=dist[sel], pos=pos_s, frame=frame_s,
-      includemargin=incmargin[sel], friction=friction, solref=solref,
-      solimp=solimp, geom1=None, geom2=None)
-
   b1_all = jnp.asarray(m.geom_bodyid[cp.con_geom1])
   b2_all = jnp.asarray(m.geom_bodyid[cp.con_geom2])
   b1 = b1_all[sel]
   b2 = b2_all[sel]
+
+  contact = Contact(
+      dist=dist[sel], pos=pos_s, frame=frame_s,
+      includemargin=incmargin[sel], friction=friction, solref=solref,
+      solimp=solimp, geom1=None, geom2=None,
+      geom1_id=jnp.asarray(cp.con_geom1)[sel],
+      geom2_id=jnp.asarray(cp.con_geom2)[sel],
+      body1=b1, body2=b2)
   rootid = jnp.asarray(m.body_rootid)
   bdm = jnp.asarray(m.body_dof_mask, dtype)
   invw0 = m.body_invweight0[:, 0]
@@ -443,6 +446,32 @@ def reference_constraint(m: Model, d: Data) -> Data:
   return d.replace(efc_D=gate / r, efc_aref=aref)
 
 
+def efc_force_at(d: Data, qacc: jax.Array) -> jax.Array:
+  """Explicit constraint force at a GIVEN acceleration.
+
+  The soft convex model makes constraint force a closed-form function of
+  jar = J qacc - aref (mj_invConstraint semantics, engine_inverse.c):
+  inequality rows push only while jar < 0, equality rows always,
+  friction-loss rows follow the Huber clip. This is both the final force
+  readout of the forward solve and the whole of INVERSE dynamics'
+  constraint stage (physics/inverse.py; reference mj_inverse feeding the
+  Direct force residual, docs/DIRECT.md:12-63).
+
+  Requires Data after the position+velocity stages (efc_J/D/aref set).
+  """
+  dtype = qacc.dtype
+  dvec = d.efc_D
+  eq_mask = d.efc_eq if d.efc_eq is not None else jnp.zeros_like(dvec)
+  floss = d.efc_floss if d.efc_floss is not None else jnp.zeros_like(dvec)
+  fr_mask = (floss > 0).astype(dtype)
+  jar = d.efc_J @ qacc - d.efc_aref
+  base_active = jnp.maximum((jar < 0).astype(dtype), eq_mask) * dvec
+  f_lin = dvec * jar
+  g = jnp.where(fr_mask > 0, jnp.clip(f_lin, -floss, floss),
+                base_active * jar)
+  return -g
+
+
 def solve(m: Model, d: Data) -> Data:
   """Primal Newton solve for constrained qacc."""
   iterations = m.opt.iterations
@@ -508,11 +537,25 @@ def solve(m: Model, d: Data) -> Data:
 
   a = jax.lax.fori_loop(0, iterations, lambda _, a: newton_step(a), a0)
 
-  jar = j @ a - aref
-  g, _ = grad_weight(jar)
-  efc_force = -g
+  efc_force = efc_force_at(d, a)
   qfrc_constraint = j.T @ efc_force
   # recompute final qacc consistently: M qacc = qfrc_smooth + qfrc_constraint
   qacc = S.solve_m(m, d, d.qfrc_smooth + qfrc_constraint)
-  return d.replace(
+  d = d.replace(
       qacc=qacc, qfrc_constraint=qfrc_constraint, efc_force=efc_force)
+
+  # decode contact-frame forces from the pyramidal tail rows
+  # (mj_contactForce semantics for pyramidal cones): contact rows are
+  # appended LAST by make_constraint, 4 rows per selected contact in
+  # (mu0+, mu0-, mu1+, mu1-) order; lam >= 0 when active.
+  # f_n = sum(lam); f_ti = mu_i (lam_i+ - lam_i-).
+  if d.contact is not None and d.contact.dist is not None:
+    k = d.contact.dist.shape[0]
+    if k > 0 and nefc >= 4 * k:
+      lam = efc_force[nefc - 4 * k:].reshape(k, 2, 2)
+      mu = d.contact.friction[:, :2]
+      f_n = jnp.sum(lam, axis=(1, 2))
+      f_t = mu * (lam[:, :, 0] - lam[:, :, 1])
+      d = d.replace(contact=d.contact.replace(
+          force=jnp.concatenate([f_n[:, None], f_t], axis=1)))
+  return d

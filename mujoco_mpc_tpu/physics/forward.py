@@ -100,9 +100,19 @@ def _advance(m: Model, d: Data, qacc: jax.Array, act_dot: jax.Array,
   dt = m.opt.timestep
   act = d.act + dt * act_dot
   if m.na:
-    limited = jnp.asarray(m.actuator_actnum > 0, bool)
-    # clamp activations to actrange where limited (host-side static check)
-    # (skip per-actuator actlimited detail for now: clamp only if finite)
+    # clamp activations to actrange where actlimited (mj_advance
+    # semantics, engine_forward.c mj_advance: act in [actrange] for
+    # actlimited actuators). The act-slot -> actuator map is static
+    # model metadata, so the mask/gather indices are trace constants.
+    slot_u = np.zeros(m.na, np.int32)
+    for u in range(m.nu):
+      for k in range(int(m.actuator_actnum[u])):
+        slot_u[int(m.actuator_actadr[u]) + k] = u
+    limited = np.asarray(m.actuator_actlimited)[slot_u] > 0
+    if limited.any():
+      lo = m.actuator_actrange[slot_u, 0]
+      hi = m.actuator_actrange[slot_u, 1]
+      act = jnp.where(jnp.asarray(limited), jnp.clip(act, lo, hi), act)
   qvel = d.qvel + dt * qacc if qvel_next is None else qvel_next
   qpos = _integrate_pos(m, d.qpos, qvel, dt)
   return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + dt)

@@ -125,6 +125,7 @@ class Option:
   density: jax.Array
   viscosity: jax.Array
   impratio: jax.Array
+  magnetic: jax.Array = None  # (3,) global magnetic flux (magnetometer)
   # static fields
   integrator: int = struct.field(pytree_node=False, default=EULER)
   # fixed-iteration Newton constraint solver (TPU: static trip counts)
@@ -189,6 +190,11 @@ class Model:
   body_dof_mask: np.ndarray = struct.field(pytree_node=False)
   # joint-type index maps for vectorized (scatter-free) position updates:
   # scalar (hinge/slide) qpos<->dof, ball quat blocks, free joints
+  actuator_actlimited: np.ndarray = struct.field(pytree_node=False,
+                                                 default=None)
+  site_type: np.ndarray = struct.field(pytree_node=False, default=None)
+  site_size_np: np.ndarray = struct.field(pytree_node=False, default=None)
+  geom_size_np: np.ndarray = struct.field(pytree_node=False, default=None)
   scalar_qadr: np.ndarray = struct.field(pytree_node=False, default=None)
   scalar_dadr: np.ndarray = struct.field(pytree_node=False, default=None)
   ball_qadr: np.ndarray = struct.field(pytree_node=False, default=None)
@@ -303,6 +309,16 @@ class Contact:
   solimp: jax.Array        # (ncon, 5)
   geom1: np.ndarray = struct.field(pytree_node=False, default=None)
   geom2: np.ndarray = struct.field(pytree_node=False, default=None)
+  # traced ids of the SELECTED candidates (top-k keeps the set dynamic)
+  geom1_id: jax.Array = None   # (ncon,) int
+  geom2_id: jax.Array = None   # (ncon,) int
+  body1: jax.Array = None      # (ncon,) int
+  body2: jax.Array = None      # (ncon,) int
+  # contact-frame force (normal, tangent1, tangent2) decoded from the
+  # pyramidal efc rows after the solve; zero for inactive candidates.
+  # This is what puts contact state in reach of task residuals (reference
+  # residuals read data->contact, e.g. mjpc/tasks/bimanual/insert.cc:60-121)
+  force: jax.Array = None      # (ncon, 3)
 
 
 @struct.dataclass
@@ -490,6 +506,7 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       density=dev(mjm.opt.density),
       viscosity=dev(mjm.opt.viscosity),
       impratio=dev(mjm.opt.impratio),
+      magnetic=dev(mjm.opt.magnetic),
       integrator=int(mjm.opt.integrator),
       # cap MuJoCo's generous defaults: fixed-point Newton converges in a
       # handful of iterations on robotics-scale systems
@@ -546,6 +563,10 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       actuator_forcelimited=_np(mjm.actuator_forcelimited),
       actuator_actadr=_np(mjm.actuator_actadr),
       actuator_actnum=_np(mjm.actuator_actnum),
+      actuator_actlimited=_np(mjm.actuator_actlimited),
+      site_type=_np(mjm.site_type),
+      site_size_np=_np(mjm.site_size),
+      geom_size_np=_np(mjm.geom_size),
       neq=int(mjm.neq),
       eq_type=_np(mjm.eq_type),
       eq_obj1id=_np(mjm.eq_obj1id),

@@ -143,3 +143,21 @@ MUSCLE = """
   </actuator>
 </mujoco>
 """
+
+ACTLIMITED = """
+<mujoco model="actlimited">
+  <option timestep="0.005"/>
+  <worldbody>
+    <body pos="0 0 0.5">
+      <joint name="h" type="hinge" axis="0 1 0" damping="0.05"/>
+      <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.02" mass="0.3"
+            contype="0" conaffinity="0"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <general name="filt" joint="h" dyntype="filter" dynprm="0.05"
+             gainprm="2.0" actlimited="true" actrange="-0.4 0.4"
+             ctrllimited="true" ctrlrange="-2 2"/>
+  </actuator>
+</mujoco>
+"""
