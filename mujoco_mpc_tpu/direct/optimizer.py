@@ -47,6 +47,19 @@ from mujoco_mpc_tpu.planners import derivatives as deriv
 from mujoco_mpc_tpu import rollout as rollout_lib
 
 
+def _inverse_force(m, dd, qacc):
+  """Force residual prediction = full inverse dynamics incl. the explicit
+  soft-constraint force (mj_inverse semantics; reference direct.h force
+  residual uses mj_inverse, docs/DIRECT.md:12-63). dd must have passed
+  fwd_position + fwd_velocity (efc rows + aref/D ready)."""
+  from mujoco_mpc_tpu.physics import constraint as C
+  tau = dd.qM @ qacc + dd.qfrc_bias - dd.qfrc_passive
+  if dd.efc_J is not None and dd.efc_J.shape[0] > 0:
+    tau = tau - dd.efc_J.T @ C.efc_force_at(dd, qacc)
+  return tau
+
+
+
 class Status(enum.IntEnum):
   """(reference direct.h:36-45)"""
   UNSOLVED = 0
@@ -157,7 +170,7 @@ class Direct:
       dd = F.fwd_position(m, d)
       dd = F.fwd_velocity(m, dd)
       y_pred = self.sensor_fn(m, dd)
-      f_pred = dd.qM @ at + dd.qfrc_bias - dd.qfrc_passive
+      f_pred = _inverse_force(m, dd, at)
       r_sensor = jnp.sqrt(w_sensor) * (y_pred - y_t)
       r_force = jnp.sqrt(w_force) * (f_pred - f_t)
       return jnp.concatenate([r_sensor, r_force])
@@ -277,7 +290,7 @@ class Direct:
       dd = F.fwd_position(m, d)
       dd = F.fwd_velocity(m, dd)
       y_pred = self.sensor_fn(m, dd)
-      f_pred = dd.qM @ a_t + dd.qfrc_bias - dd.qfrc_passive
+      f_pred = _inverse_force(m, dd, a_t)
       return jnp.concatenate([jnp.sqrt(w_sensor) * (y_pred - y_t),
                               jnp.sqrt(w_force) * (f_pred - f_t)])
 
