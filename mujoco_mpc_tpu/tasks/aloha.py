@@ -6,10 +6,15 @@ Reference capability: mjpc/tasks/bimanual/{insert,reorient}
 matching position AND orientation simultaneously), two-handed grasp
 quality, z-dominant lift to a target post (Insert), and a floating
 target pose (Reorient). The reference scores grasp quality from contact
-normals (opposing finger normals); our functional residuals do not read
-contact state, so grasp is a finger-pad proximity surrogate (0 = pads on
-the object, 1 = far, matching the reference's 1 = not-in-contact
-convention).
+normals (opposing finger normals, insert/insert.cc:60-121); Insert here
+does the same from the solver's contact state exposed on
+Data.contact (geom ids, frame normals, dist): grasp = 0 needs REAL
+two-sided contact with opposing normals. The lane-kernel planning
+residual approximates the same quantity geometrically (pad-center
+sphere vs connector box narrowphase — a reduced planning model, like
+the reference's plan-model simplifications); Reorient keeps the
+finger-pad proximity surrogate (0 = pads on the object, 1 = far,
+matching the reference's 1 = not-in-contact convention).
 
 Rig: the same independently-authored two-arm pair as BimanualHandover
 (tasks/bimanual.py) with task-specific objects.
@@ -153,17 +158,54 @@ class BimanualInsert(_PadGrasp, base.Task):
     self._body_f = names["body"].index("connector_female")
     self._body_m = names["body"].index("connector_male")
     self._target = names["geom"].index("target")
+    self._geom_f = names["geom"].index("connector_f_grip")
+    self._geom_m = names["geom"].index("connector_m_grip")
 
   def xml(self) -> str:
     return _variant_xml(_OBJ_INSERT, _SENS_INSERT, _KEY_INSERT)
+
+  def _contact_grasp(self, d: Data, conn_geom: int, fingers,
+                     hand_site: int, conn_site: int) -> jax.Array:
+    """Opposing-contact-normal grasp quality from the solver's contact
+    state (reference insert.cc:60-121: accumulate finger->object
+    normals per finger; grasp = (dot(n_l, n_r) + 2 dot(x_grip, x_obj)
+    + 3)/6 when both fingers touch, else 1)."""
+    con = d.contact
+    dtype = d.qpos.dtype
+    if con is None or con.geom1_id is None or con.dist.shape[0] == 0:
+      return jnp.ones((), dtype)
+    active = con.dist < 0
+    g1, g2 = con.geom1_id, con.geom2_id
+    inv_conn = (g1 == conn_geom) | (g2 == conn_geom)
+    # frame normal points geom1 -> geom2; flip so it points
+    # finger -> object (reference sign rule)
+    sign = jnp.where(g1 == conn_geom, -1.0, 1.0).astype(dtype)
+    normals = con.frame[:, 0, :] * sign[:, None]
+    ns, counts = [], []
+    for fb in fingers:
+      on_f = (con.body1 == fb) | (con.body2 == fb)
+      mask = (inv_conn & on_f & active).astype(dtype)
+      n = jnp.sum(normals * mask[:, None], axis=0)
+      ns.append(n / jnp.maximum(jnp.linalg.norm(n), 1e-12))
+      counts.append(jnp.sum(mask))
+    have_both = (counts[0] > 0) & (counts[1] > 0)
+    con_mis = jnp.dot(ns[0], ns[1])
+    frame_mis = jnp.dot(d.site_xmat[hand_site][:, 0],
+                        d.site_xmat[conn_site][:, 0])
+    grasp = (con_mis + 2.0 * frame_mis + 3.0) / 6.0
+    return jnp.where(have_both, grasp, jnp.ones((), dtype))
 
   def residual(self, m: Model, d: Data, params: jax.Array) -> jax.Array:
     f_pos = d.site_xpos[self._site_f]
     m_pos = d.site_xpos[self._site_m]
     reach_l = d.site_xpos[self._hand_l] - f_pos
     reach_r = d.site_xpos[self._hand_r] - m_pos
-    grasp_l = self._grasp(d, "left", self._body_f)
-    grasp_r = self._grasp(d, "right", self._body_m)
+    grasp_l = self._contact_grasp(
+        d, self._geom_f, (self._fl["left"], self._fr["left"]),
+        self._hand_l, self._site_f)
+    grasp_r = self._contact_grasp(
+        d, self._geom_m, (self._fl["right"], self._fr["right"]),
+        self._hand_r, self._site_m)
     target = d.geom_xpos[self._target]
     # z-dominant lift: x, y scaled by 0.1 (insert.cc:135-147)
     scale = jnp.asarray([0.1, 0.1, 1.0], d.qpos.dtype)
@@ -180,17 +222,19 @@ class BimanualInsert(_PadGrasp, base.Task):
   plan_body_pairs = True
 
   def lane_residual_spec(self):
-    """In-kernel residual for ops/step_lane.py: reach, pad-grasp
-    surrogate, z-dominant lift, 18-point frame-mating rows
-    (insert.cc:135-147 semantics), all on VMEM-resident FK."""
+    """In-kernel residual for ops/step_lane.py: reach, opposing-normal
+    grasp (pad-center sphere vs connector box narrowphase — the
+    planning-model approximation of residual()'s solver-contact grasp),
+    z-dominant lift, 18-point frame-mating rows (insert.cc:135-147
+    semantics), all on VMEM-resident FK."""
     m = getattr(self, "plan_model", self.model)
     g = jax.device_get
     site_pos = np.asarray(g(m.site_pos))
     site_quat = np.asarray(g(m.site_quat))
     site_bodyid = np.asarray(m.site_bodyid)
     geom_pos = np.asarray(g(m.geom_pos))
+    geom_size = np.asarray(g(m.geom_size))
     geom_bodyid = np.asarray(m.geom_bodyid)
-    body_ipos = np.asarray(g(m.body_ipos))
 
     def site_const(s):
       return (int(site_bodyid[s]), [float(v) for v in site_pos[s]],
@@ -198,17 +242,30 @@ class BimanualInsert(_PadGrasp, base.Task):
 
     hands = [site_const(s) for s in (self._hand_l, self._hand_r)]
     conns = [site_const(s) for s in (self._site_f, self._site_m)]
-    pads = {side: [(b, [float(v) for v in body_ipos[b]])
+    pad_r = 0.008  # pad half-thickness + margin (planning approximation)
+    names = self.model.names
+
+    def pad_geom(b):
+      gid = names["geom"].index(names["body"][b] + "_geom")
+      return (b, [float(v) for v in geom_pos[gid]])
+
+    pads = {side: [pad_geom(b)
                    for b in (self._fl[side], self._fr[side])]
             for side in ("left", "right")}
-    objs = [(b, [float(v) for v in body_ipos[b]])
-            for b in (self._body_f, self._body_m)]
+    conn_boxes = {
+        "left": (int(geom_bodyid[self._geom_f]),
+                 [float(v) for v in geom_pos[self._geom_f]],
+                 [float(v) for v in geom_size[self._geom_f]]),
+        "right": (int(geom_bodyid[self._geom_m]),
+                  [float(v) for v in geom_pos[self._geom_m]],
+                  [float(v) for v in geom_size[self._geom_m]]),
+    }
     tg_b = int(geom_bodyid[self._target])
     tg_p = [float(v) for v in geom_pos[self._target]]
 
     def fn(ctx):
       lm, cv = ctx["lm"], ctx["cv"]
-      xpos, xquat, xipos = ctx["xpos"], ctx["xquat"], ctx["xipos"]
+      xpos, xquat = ctx["xpos"], ctx["xquat"]
 
       def site_world(b, p, q):
         pos = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
@@ -221,14 +278,35 @@ class BimanualInsert(_PadGrasp, base.Task):
       for (b, p, q), tgt in zip(hands, (f_pos, m_pos)):
         h = lm.vadd(xpos[b], lm.qrot(xquat[b], cv(p)))
         rows += [h[k] - tgt[k] for k in range(3)]
-      for side, (ob, _) in zip(("left", "right"), objs):
-        dsum = None
+      for side, hand, conn_q in zip(("left", "right"), hands,
+                                    (f_q, m_q)):
+        bb, bp_l, bs = conn_boxes[side]
+        bq = xquat[bb]
+        bqc = (bq[0], jnp.negative(bq[1]), jnp.negative(bq[2]),
+               jnp.negative(bq[3]))
+        bpw = lm.vadd(xpos[bb], lm.qrot(bq, cv(bp_l)))
+        ns, gates = [], []
         for pb, pp in pads[side]:
-          pad = xipos[pb]
-          dx = [pad[k] - xipos[ob][k] for k in range(3)]
-          dist = jnp.sqrt(dx[0] ** 2 + dx[1] ** 2 + dx[2] ** 2 + 1e-18)
-          dsum = dist if dsum is None else dsum + dist
-        rows.append(jnp.clip((dsum - 0.06) / 0.2, 0.0, 1.0))
+          pc = lm.vadd(xpos[pb], lm.qrot(xquat[pb], cv(pp)))
+          loc = lm.qrot(bqc, lm.vsub(pc, bpw))
+          cl = tuple(jnp.clip(loc[k], -bs[k], bs[k]) for k in range(3))
+          dv = lm.vsub(loc, cl)
+          dn = jnp.sqrt(dv[0] ** 2 + dv[1] ** 2 + dv[2] ** 2 + 1e-18)
+          dist = dn - pad_r
+          # box -> pad direction = object -> finger; flip to
+          # finger -> object like the reference normal convention
+          n_w = lm.qrot(bq, tuple(-dv[k] / dn for k in range(3)))
+          ns.append(n_w)
+          gates.append((dist < 0).astype(dn.dtype))
+        have = gates[0] * gates[1]
+        con_mis = lm.vdot(ns[0], ns[1])
+        hb, hp, hq = hand
+        hand_q = lm.qmul(xquat[hb], tuple(hq))
+        x_hand = lm.qrot(hand_q, cv([1.0, 0.0, 0.0]))
+        x_conn = lm.qrot(conn_q, cv([1.0, 0.0, 0.0]))
+        frame_mis = lm.vdot(x_hand, x_conn)
+        grasp = (con_mis + 2.0 * frame_mis + 3.0) / 6.0
+        rows.append(have * grasp + (1.0 - have))
       target = lm.vadd(xpos[tg_b], lm.qrot(xquat[tg_b], cv(tg_p)))
       for pos in (m_pos, f_pos):
         sc = (0.1, 0.1, 1.0)

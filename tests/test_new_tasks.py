@@ -135,3 +135,32 @@ def test_rubik_solve_machinery_and_improvement():
     d = d.replace(qpos=jnp.asarray(q, d.qpos.dtype))
     d = task.transition(d)
   assert task.mode_name == "Wait"  # solved
+
+
+def test_insert_grasp_requires_two_sided_contact():
+  """The Insert grasp residual reads the solver's contact state
+  (reference insert.cc:60-121): cost drops from 1 only when BOTH finger
+  pads make real contact with the connector; one-sided touch stays 1."""
+  task = registry.get_task("Bimanual Insert")
+  m = task.model
+  d0 = task.make_data()
+  df = jax.jit(lambda d: F.forward(m, d))(d0)
+  hand = np.asarray(df.site_xpos[task._hand_l])
+
+  def grasp_at(offset_y):
+    q = np.asarray(jax.device_get(d0.qpos)).copy()
+    # connector_female free joint follows the 10 arm dofs
+    q[10:13] = hand + np.array([0.0, offset_y, 0.0])
+    q[13:17] = [1, 0, 0, 0]
+    d = d0.replace(qpos=jnp.asarray(q, d0.qpos.dtype))
+    d = jax.jit(lambda d: F.forward(m, d))(d)
+    r = task.residual(m, d, task.residual_params)
+    return float(r[6])  # Grasp L row
+
+  grasp_center = grasp_at(0.0)     # box straddles both pads
+  grasp_far = grasp_at(0.5)        # no contact
+  assert grasp_far == 1.0, grasp_far
+  assert grasp_center < 0.9, grasp_center
+  # one-sided: box shifted so only one pad can touch
+  grasp_side = grasp_at(0.09)
+  assert grasp_side == 1.0, grasp_side
