@@ -194,7 +194,6 @@ class HandReorient(base.Task):
                 make_aux=make_aux)
 
 
-class CubeSolving(HandReorient):
-  """Benchmark alias (reference testspeed default task "Cube Solving")."""
-
-  name = "Cube Solving"
+# "Cube Solving" (the reference testspeed default benchmark) used to
+# alias this simplified rig; it is now the real high-DoF workload in
+# tasks/rubik.py (20-actuator hand + articulated-cubie cube).

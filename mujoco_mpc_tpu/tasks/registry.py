@@ -46,7 +46,7 @@ def _ensure_loaded():
       ("acrobot", ["Acrobot"]),
       ("pendulum", ["Pendulum"]),
       ("quadrotor", ["Quadrotor"]),
-      ("hand", ["HandReorient", "CubeSolving"]),
+      ("hand", ["HandReorient"]),
       ("fingers", ["Fingers"]),
       ("manipulation", ["Manipulation"]),
       ("bimanual", ["BimanualHandover"]),
@@ -55,7 +55,7 @@ def _ensure_loaded():
       ("op3", ["OP3"]),
       ("interact", ["HumanoidInteract"]),
       ("allegro", ["Allegro"]),
-      ("rubik", ["Rubik"]),
+      ("rubik", ["Rubik", "CubeSolving"]),
   ]:
     try:
       mod = __import__(f"mujoco_mpc_tpu.tasks.{modname}",

@@ -183,10 +183,13 @@ class Rubik(base.Task):
     self._cube_body = names["body"].index("cube")
     self._palm_site = names["site"].index("palm_site")
     home = self.home_qpos
-    self._home_hand = jnp.asarray(home[:9], jnp.float32)
-    # qpos layout: hand 9, cube free 7, faces 6
-    self._cube_qadr, self._cube_dadr = 9, 9
-    self._face_qadr, self._face_dadr = 16, 15
+    # qpos layout: hand joints, cube free 7, faces 6 — the hand size is
+    # model-derived so the 20-actuator Cube Solving rig shares this class
+    self._nhand = self.model.nq - 13
+    self._home_hand = jnp.asarray(home[:self._nhand], jnp.float32)
+    self._cube_qadr, self._cube_dadr = self._nhand, self._nhand
+    self._face_qadr = self._nhand + 7
+    self._face_dadr = self._nhand + 6
     state0 = np.zeros(NPARAM - 7, np.float32)
     self.residual_params = jnp.concatenate(
         [self.residual_params, jnp.asarray(state0)])
@@ -213,8 +216,8 @@ class Rubik(base.Task):
     faces = d.qpos[self._face_qadr:self._face_qadr + 6] - \
         params[P_FACES:P_FACES + 6]
     faces = jnp.where(faces_active, faces, jnp.zeros(6, dtype))
-    grasp = d.qpos[:9] - self._home_hand
-    joint_vel = d.qvel[:9]
+    grasp = d.qpos[:self._nhand] - self._home_hand
+    joint_vel = d.qvel[:self._nhand]
     # each remaining scramble move costs ~12 (reference goal_index_*12)
     remaining = params[S_GOAL_INDEX] * 12.0
     return jnp.concatenate([
@@ -234,6 +237,7 @@ class Rubik(base.Task):
     cube_b = self._cube_body
     qa_c, da_c = self._cube_qadr, self._cube_dadr
     qa_f = self._face_qadr
+    nhand = self._nhand
     nu = m.nu
 
     def fn(ctx):
@@ -259,8 +263,8 @@ class Rubik(base.Task):
       rows += list(ctx["act_force"])
       active = aux[10]
       rows += [active * (qpos[qa_f + i] - aux[4 + i]) for i in range(6)]
-      rows += [qpos[i] - home_hand[i] for i in range(9)]
-      rows += [qvel[i] for i in range(9)]
+      rows += [qpos[i] - home_hand[i] for i in range(nhand)]
+      rows += [qvel[i] for i in range(nhand)]
       rows.append(aux[11] + 0.0 * qpos[0])
       return rows
 
@@ -274,7 +278,7 @@ class Rubik(base.Task):
       return jnp.concatenate([
           gq, params[P_FACES:P_FACES + 6], active[None], remaining[None]])
 
-    return dict(dim=3 + 3 + 3 + nu + 6 + 9 + 9 + 1, naux=12, fn=fn,
+    return dict(dim=3 + 3 + 3 + nu + 6 + 2 * nhand + 1, naux=12, fn=fn,
                 make_aux=make_aux)
 
   def transition(self, d: Data) -> Data:
@@ -321,3 +325,222 @@ class Rubik(base.Task):
     self.mode = mode
     self.residual_params = jnp.asarray(p, jnp.float32)
     return d
+
+
+# ---------------------------------------------------------------------------
+# Cube Solving: 20-actuator five-finger hand + articulated-cubie cube
+# ---------------------------------------------------------------------------
+# Reference workload: mjpc/tasks/rubik/task.xml drives a 20-motor Shadow
+# Hand against a cube whose six faces are articulated hinge joints
+# carrying real cubie geometry; testspeed_app.cc:23-28 makes "Cube
+# Solving" the default benchmark task. This rig is independently
+# authored at that capability class: a 5-finger hand, 4 joints per
+# finger (abduction + 3 flexions, 20 position actuators), and a cube
+# whose 6 face hinges each carry a 3x3 grid of cubie boxes (54 contact
+# geoms) around a core. Cube-internal collisions are off (rigid-face
+# approximation); hand<->cubie and cube<->palm contacts are real.
+
+_CUBE_HALF = 0.031      # outer half-extent
+_CUBIE_H = 0.0095       # cubie half-size
+_CUBIE_OFF = 0.0215     # shell offset of cubie centers along the normal
+_CUBIE_LAT = 0.0205     # lateral grid spacing
+
+
+def _finger20(i, angle_deg):
+  a = math.radians(angle_deg)
+  x, y = 0.105 * math.cos(a), 0.105 * math.sin(a)
+  rot = math.degrees(math.atan2(-y, -x))
+  return f"""
+    <body name="fknuckle_{i}" pos="{x:.4f} {y:.4f} 0.032"
+          euler="0 0 {rot:.2f}">
+      <joint name="fj0_{i}" type="hinge" axis="0 0 1" range="-30 30"
+             damping="0.2" armature="0.005"/>
+      <geom name="fk_{i}" type="sphere" size="0.011" mass="0.02"
+            contype="0" conaffinity="0"/>
+      <body name="fprox_{i}" pos="0.008 0 0">
+        <joint name="fj1_{i}" type="hinge" axis="0 1 0" range="-20 100"
+               damping="0.15" armature="0.005"/>
+        <geom name="fp_{i}" type="capsule" fromto="0 0 0 0.04 0 0"
+              size="0.011" mass="0.035" contype="0" conaffinity="0"/>
+        <body name="fmid_{i}" pos="0.04 0 0">
+          <joint name="fj2_{i}" type="hinge" axis="0 1 0" range="-10 110"
+                 damping="0.12" armature="0.005"/>
+          <geom name="fm_{i}" type="capsule" fromto="0 0 0 0.035 0 0"
+                size="0.010" mass="0.03" contype="4" conaffinity="3"
+                friction="1.5 0.02 0.002"/>
+          <body name="ftip_{i}" pos="0.035 0 0">
+            <joint name="fj3_{i}" type="hinge" axis="0 1 0" range="-10 95"
+                   damping="0.1" armature="0.005"/>
+            <geom name="ft_{i}" type="capsule" fromto="0 0 0 0.03 0 0"
+                  size="0.009" mass="0.025" contype="4" conaffinity="3"
+                  friction="1.8 0.02 0.002"/>
+          </body>
+        </body>
+      </body>
+    </body>"""
+
+
+def _cubie_faces(slab: bool):
+  """Six face bodies on hinges through the cube center. slab=False: each
+  face carries its 3x3 cubie grid (simulation model); slab=True: one
+  face-sized box per face (reduced PLANNING geometry, same joints)."""
+  out = []
+  for name, _, axis in _FACE_DEFS:
+    ax = [float(v) for v in axis.split()]
+    # face frame: n = hinge axis, (u, v) span the face plane
+    n = np.array(ax)
+    u = np.array([0.0, 0.0, 1.0]) if abs(n[2]) < 0.5 else \
+        np.array([1.0, 0.0, 0.0])
+    u = np.cross(n, u)
+    u /= np.linalg.norm(u)
+    v = np.cross(n, u)
+    geoms = []
+    if slab:
+      c = n * _CUBIE_OFF
+      # box axes: world-aligned since faces are axis-aligned at build
+      size = np.abs(n) * _CUBIE_H + (np.abs(u) + np.abs(v)) * (
+          _CUBIE_LAT + _CUBIE_H)
+      geoms.append(
+          f'<geom name="slab_{name}" type="box" '
+          f'pos="{c[0]:.4f} {c[1]:.4f} {c[2]:.4f}" '
+          f'size="{size[0]:.4f} {size[1]:.4f} {size[2]:.4f}" '
+          f'mass="0.018" contype="2" conaffinity="4" '
+          f'friction="1.2 0.02 0.002"/>')
+    else:
+      k = 0
+      for du in (-1, 0, 1):
+        for dv in (-1, 0, 1):
+          c = n * _CUBIE_OFF + (du * u + dv * v) * _CUBIE_LAT
+          geoms.append(
+              f'<geom name="cubie_{name}_{k}" type="box" '
+              f'pos="{c[0]:.4f} {c[1]:.4f} {c[2]:.4f}" '
+              f'size="{_CUBIE_H} {_CUBIE_H} {_CUBIE_H}" mass="0.002" '
+              f'contype="2" conaffinity="4" '
+              f'friction="1.2 0.02 0.002"/>')
+          k += 1
+    out.append(f"""
+      <body name="face_{name}" pos="0 0 0">
+        <joint name="f_{name}" type="hinge" axis="{axis}" damping="0.03"
+               armature="0.002"/>
+        {''.join(geoms)}
+      </body>""")
+  return "".join(out)
+
+
+_ACT20 = "".join(
+    f'<position name="a{j}_{i}" joint="fj{j}_{i}" kp="4" '
+    f'ctrlrange="{lo} {hi}" ctrllimited="true" '
+    f'forcerange="-3 3" forcelimited="true"/>'
+    for i in range(5)
+    for j, lo, hi in ((0, -0.5, 0.5), (1, -0.3, 1.7), (2, -0.15, 1.9),
+                      (3, -0.15, 1.6)))
+
+_HOME_FINGER = "0 0.5 0.55 0.35"
+
+
+def _cube_solving_xml(plan: bool) -> str:
+  # sim palm collides with cubies AND core (conaffinity 10); the plan
+  # plane supports the cube through the core only (conaffinity 8) — a
+  # reduced planning contact set, like the reference's plan models
+  palm = ('<geom name="palm" type="plane" pos="0 0 0.015" '
+          'size="0.25 0.25 0.01" contype="1" conaffinity="8" '
+          'friction="0.8 0.01 0.001"/>' if plan else
+          '<geom name="palm" type="box" pos="0 0 0" '
+          'size="0.12 0.12 0.015" contype="1" conaffinity="10" '
+          'friction="0.8 0.01 0.001"/>')
+  fingers = "".join(_finger20(i, 90 + 72 * i) for i in range(5))
+  # the plan solver runs a reduced Newton schedule (3x smaller kernel
+  # program at nv=32; planning-model approximation like the quadruped
+  # bench's reduced schedule, ops/step_lane.py build_rollout_kernel doc)
+  solver = ('<numeric name="solver_iterations" data="3"/>'
+            '<numeric name="solver_ls_iterations" data="2"/>'
+            if plan else '')
+  # plan core: palm-plane support only (contype 8), no tip pairs — the
+  # core is fully enclosed by the face slabs anyway
+  core = ('contype="8" conaffinity="0"' if plan
+          else 'contype="10" conaffinity="5"')
+  return f"""
+<mujoco model="CubeSolving">
+  <option timestep="0.004"/>
+  <custom>
+    <text name="task_transition" data="Wait|Manual|Scramble|Solve"/>
+    <numeric name="agent_planner" data="0" />
+    <numeric name="agent_horizon" data="0.35" />
+    <numeric name="agent_timestep" data="0.01" />
+    <numeric name="sampling_spline_points" data="3" />
+    <numeric name="sampling_exploration" data="0.12" />
+    <numeric name="sampling_trajectories" data="60" />
+    <numeric name="max_contact_points" data="64" />
+    {solver}
+    <numeric name="residual_red" data="0 -3.15 3.15"/>
+    <numeric name="residual_orange" data="0 -3.15 3.15"/>
+    <numeric name="residual_blue" data="0 -3.15 3.15"/>
+    <numeric name="residual_green" data="0 -3.15 3.15"/>
+    <numeric name="residual_white" data="0 -3.15 3.15"/>
+    <numeric name="residual_yellow" data="0 -3.15 3.15"/>
+    <numeric name="residual_select_Scramble" data="0"/>
+    <text name="residual_list_Scramble" data="1|2|3|4|5|6|7|8|9|10"/>
+  </custom>
+  <worldbody>
+    {palm}
+    <site name="palm_site" pos="0 0 0.07"/>
+    {fingers}
+    <body name="cube" pos="0 0 0.07">
+      <freejoint/>
+      <geom name="core" type="box" size="0.0205 0.0205 0.0205"
+            mass="0.04" {core}
+            friction="1.2 0.02 0.002"/>
+      {_cubie_faces(slab=plan)}
+    </body>
+    <body name="goal" mocap="true" pos="0.35 0 0.1">
+      <geom name="goal_geom" type="box" size="0.031 0.031 0.031"
+            contype="0" conaffinity="0"/>
+    </body>
+  </worldbody>
+  <actuator>
+    {_ACT20}
+  </actuator>
+  <sensor>
+    <user name="Position" dim="3" user="2 20.0 0 50.0 0.02"/>
+    <user name="Orientation" dim="3" user="0 1.0 0 10.0"/>
+    <user name="Cube Vel." dim="3" user="0 1.0 0 5.0"/>
+    <user name="Actuation" dim="20" user="0 0.03 0 1.0"/>
+    <user name="Faces" dim="6" user="0 10.0 0 50.0"/>
+    <user name="Grasp" dim="20" user="0 0.05 0 1.0"/>
+    <user name="Joint Vel" dim="20" user="0 1e-3 0 0.1"/>
+    <user name="Remaining" dim="1" user="-1 1.0 0 1.0"/>
+  </sensor>
+  <keyframe>
+    <key name="home"
+         qpos="{' '.join([_HOME_FINGER] * 5)} 0 0 0.07 1 0 0 0 0 0 0 0 0 0"/>
+  </keyframe>
+</mujoco>
+"""
+
+
+class CubeSolving(Rubik):
+  """The reference benchmark workload at full fidelity class: a
+  20-actuator five-finger hand scrambling/solving an articulated-cubie
+  cube (goal-stack mode machine inherited from Rubik). Registered as
+  "Cube Solving" — the reference testspeed default (testspeed_app.cc)."""
+
+  name = "Cube Solving"
+  plan_body_pairs = True
+
+  # planning contacts: distal fingertip capsules vs face slabs + core
+  # (+ palm plane); middle segments and per-cubie geometry are
+  # sim-model-only detail, like the reference's reduced plan models
+  @property
+  def plan_contact_geoms(self):
+    m = self.plan_model
+    names = m.names["geom"]
+    keep = [i for i, n in enumerate(names)
+            if n.startswith("ft_") or n.startswith("slab_")
+            or n in ("core",)]
+    return set(keep)
+
+  def xml(self) -> str:
+    return _cube_solving_xml(plan=False)
+
+  def plan_xml(self) -> str:
+    return _cube_solving_xml(plan=True)

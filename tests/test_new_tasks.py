@@ -164,3 +164,70 @@ def test_insert_grasp_requires_two_sided_contact():
   # one-sided: box shifted so only one pad can touch
   grasp_side = grasp_at(0.09)
   assert grasp_side == 1.0, grasp_side
+
+
+def test_cube_solving_rig_dimensions():
+  """The benchmark workload is the real high-DoF rig (VERDICT r2 #1):
+  20 actuators, articulated-cubie cube (6 face hinges, 54 cubie geoms),
+  lane-kernel-eligible planning model."""
+  task = registry.get_task("Cube Solving")
+  m = task.model
+  assert m.nu == 20 and m.nq == 33 and m.nv == 32
+  cubies = [n for n in m.names["geom"] if n.startswith("cubie_")]
+  assert len(cubies) == 54
+  from mujoco_mpc_tpu.ops import step_lane
+  assert step_lane.supports(task.plan_model, ground_only=True,
+                            body_pairs=True)
+
+
+def test_cube_solving_scramble_solve_machinery():
+  """Goal-stack mode machine on the high-DoF rig: Scramble caches face
+  states, Solve pops goals back to Wait (reference solve.cc:140-246)."""
+  task = registry.get_task("Cube Solving")
+  d = F.forward(task.model, task.make_data())
+  task.set_selection("Scramble", 2)  # 3 turns
+  task.set_mode_by_name("Scramble")
+  d = task.transition(d)
+  assert task.mode_name == "Solve"
+  assert task._goal_index == 2
+  faces = np.asarray(jax.device_get(d.qpos))[task._face_qadr:
+                                             task._face_qadr + 6]
+  assert np.abs(faces).sum() > 1.0
+  for _ in range(3):
+    q = np.asarray(jax.device_get(d.qpos)).copy()
+    q[task._face_qadr:task._face_qadr + 6] = \
+        task._goal_cache[task._goal_index]
+    d = d.replace(qpos=jnp.asarray(q, d.qpos.dtype))
+    d = task.transition(d)
+  assert task.mode_name == "Wait"  # goal stack emptied
+
+
+@pytest.mark.slow
+def test_cube_solving_planner_improves_in_solve():
+  """With one face turned 90 deg and Solve active, the sampling planner
+  finds plans strictly better than nominal on the reduced plan model."""
+  import jax.numpy as jnp
+  from mujoco_mpc_tpu.planners import sampling
+  from mujoco_mpc_tpu.tasks import rubik as rubik_mod
+  task = registry.get_task("Cube Solving")
+  p = np.asarray(jax.device_get(task.residual_params)).copy()
+  p[rubik_mod.S_MODE] = rubik_mod.MODE_SOLVE
+  task.residual_params = jnp.asarray(p, jnp.float32)
+  task.mode = rubik_mod.MODE_SOLVE
+  d0 = task.make_data()
+  q = np.asarray(jax.device_get(d0.qpos)).copy()
+  q[task._face_qadr] = 0.5 * np.pi  # red face scrambled
+  d0 = d0.replace(qpos=jnp.asarray(q, d0.qpos.dtype))
+  config = sampling.make_config(task).replace(
+      num_trajectory=16, horizon=8)
+  planner = sampling.SamplingPlanner(task, config)
+  key = jax.random.PRNGKey(0)
+  first, best = None, np.inf
+  for i in range(6):
+    key, sub = jax.random.split(key)
+    info = planner.optimize(sub, d0)
+    if first is None:
+      first = float(info["nominal_return"])
+    best = min(best, float(info["best_return"]))
+  assert np.isfinite(best)
+  assert best < 0.995 * first, (first, best)
