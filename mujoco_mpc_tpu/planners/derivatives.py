@@ -144,6 +144,111 @@ def model_derivatives(m: Model, template: Data, states: jax.Array,
   return jnp.stack(out_a), jnp.stack(out_b)
 
 
+def trajectory_derivatives(m: Model, template: Data, residual_fn: Callable,
+                           cost_spec, states: jax.Array,
+                           actions: jax.Array, times: jax.Array,
+                           skip: int = 1):
+  """Fused model + cost derivatives along a trajectory in ONE AD sweep.
+
+  The reference evaluates dynamics Jacobians (model_derivatives.cc) and
+  the Gauss-Newton cost expansion (cost_derivatives.cc) as separate
+  passes; both need the same forward pipeline at (state, action, time).
+  Fusing them shares that forward trace per tangent — one jacfwd
+  produces [state_diff(next); residual] rows, halving the derivative
+  phase of an iLQG iteration (the residual is evaluated pre-integration,
+  rollout.py semantics).
+
+  Returns (a, b, cx, cu, cxx, cxu, cuu) with a, b of length T-1 and the
+  cost expansions of length T (terminal step: zero dynamics rows unused).
+  `skip` > 1 evaluates every skip-th step and linearly interpolates the
+  DYNAMICS Jacobians between (reference derivative skip,
+  model_derivatives.cc:57-72); cost expansions stay exact per step (they
+  are the cheap part once the Jacobian sweep is shared).
+  """
+  nx = ndx(m)
+  nr = None
+
+  def fwd_next_res(state, action, time):
+    d = rollout_lib.set_state(m, template, state)
+    d = d.replace(ctrl=action, time=time)
+    d = F.forward(m, d)
+    r = residual_fn(m, d)
+    nxt = rollout_lib.pack_state(F.integrate(m, d))
+    return nxt, r
+
+  def jac_at(state, action, time):
+    nxt0, _ = fwd_next_res(state, action, time)
+
+    def f(dxu):
+      dx, du = dxu[:nx], dxu[nx:]
+      nxt, r = fwd_next_res(state_add(m, state, dx), action + du, time)
+      return jnp.concatenate([state_diff(m, nxt, nxt0), r])
+
+    zero = jnp.zeros(nx + m.nu, states.dtype)
+    jac = jax.jacfwd(f)(zero)                 # (nx+nr, nx+nu)
+    return (jac[:nx, :nx], jac[:nx, nx:],     # a, b
+            jac[nx:, :nx], jac[nx:, nx:])     # rx, ru
+
+  def gn(r0, rx, ru):
+    g, h = cost_spec.cost_grad_hess(r0)
+    hrx = h @ rx
+    hru = h @ ru
+    return (rx.T @ g, ru.T @ g, rx.T @ hrx, rx.T @ hru, ru.T @ hru)
+
+  t_hor = states.shape[0]
+  if skip <= 1 or t_hor <= skip:
+    def expand(state, action, time):
+      nxt0, r0 = fwd_next_res(state, action, time)
+
+      def f(dxu):
+        dx, du = dxu[:nx], dxu[nx:]
+        nxt, r = fwd_next_res(state_add(m, state, dx), action + du, time)
+        return jnp.concatenate([state_diff(m, nxt, nxt0), r])
+
+      zero = jnp.zeros(nx + m.nu, states.dtype)
+      jac = jax.jacfwd(f)(zero)
+      a_t, b_t = jac[:nx, :nx], jac[:nx, nx:]
+      rx, ru = jac[nx:, :nx], jac[nx:, nx:]
+      return (a_t, b_t) + gn(r0, rx, ru)
+
+    a, b, cx, cu, cxx, cxu, cuu = jax.vmap(expand)(states, actions, times)
+    return a[:-1], b[:-1], cx, cu, cxx, cxu, cuu
+
+  # derivative skip: the Jacobian sweep (dynamics AND residual rows,
+  # like the reference interpolates A,B,C,D between evaluated steps)
+  # runs every skip-th step and is linearly interpolated; residual
+  # VALUES (for the norm grad/Hess) are exact at every step — the cheap
+  # plain-forward part.
+  import numpy as np
+  eval_idx = np.arange(0, t_hor, skip)
+  if eval_idx[-1] != t_hor - 1:
+    eval_idx = np.append(eval_idx, t_hor - 1)
+  a_e, b_e, rx_e, ru_e = jax.vmap(jac_at)(
+      states[eval_idx], actions[eval_idx], times[eval_idx])
+  r0s = jax.vmap(lambda s, u, t: fwd_next_res(s, u, t)[1])(
+      states, actions, times)
+  w_lo, w_hi, seg_lo, seg_hi = [], [], [], []
+  for t in range(t_hor):
+    seg = int(np.searchsorted(eval_idx, t, side="right")) - 1
+    seg = min(seg, len(eval_idx) - 2)
+    t0, t1 = eval_idx[seg], eval_idx[seg + 1]
+    w = (t - t0) / max(t1 - t0, 1)
+    seg_lo.append(seg)
+    seg_hi.append(seg + 1)
+    w_lo.append(1.0 - w)
+    w_hi.append(w)
+  wl = jnp.asarray(w_lo, states.dtype)[:, None, None]
+  wh = jnp.asarray(w_hi, states.dtype)[:, None, None]
+  sl = np.asarray(seg_lo)
+  sh = np.asarray(seg_hi)
+  a = wl * a_e[sl] + wh * a_e[sh]
+  b = wl * b_e[sl] + wh * b_e[sh]
+  rx = wl * rx_e[sl] + wh * rx_e[sh]
+  ru = wl * ru_e[sl] + wh * ru_e[sh]
+  cx, cu, cxx, cxu, cuu = jax.vmap(gn)(r0s, rx, ru)
+  return a[:-1], b[:-1], cx, cu, cxx, cxu, cuu
+
+
 def make_residual_at_fn(m: Model, template: Data, residual_fn: Callable):
   """residual evaluated at (state, action, time) after a forward pass."""
 

@@ -66,6 +66,10 @@ class ILQGConfig:
   nominal_feedback_scaling: bool = struct.field(pytree_node=False,
                                                 default=True)
   num_fb_scales: int = struct.field(pytree_node=False, default=4)
+  # reference "derivative skip" (model_derivatives.cc:57-72,
+  # `derivative_skip` custom numeric): evaluate dynamics Jacobians every
+  # (skip)-th step, linearly interpolate between
+  derivative_skip: int = struct.field(pytree_node=False, default=1)
 
 
 def make_config(task) -> ILQGConfig:
@@ -76,6 +80,7 @@ def make_config(task) -> ILQGConfig:
       horizon=int(round(horizon_time / agent_timestep)) + 1,
       num_alphas=int(task.config("ilqg_num_rollouts", 8)),
       reg_type=int(task.config("ilqg_regularization_type", REG_CONTROL)),
+      derivative_skip=max(1, int(task.config("derivative_skip", 0)) + 1),
   )
 
 
@@ -126,7 +131,11 @@ def _boxqp(quu, qu, lower, upper, iters: int):
     return jnp.clip(du_new, lower, upper)
 
   du = jnp.clip(-qu / jnp.maximum(jnp.diag(quu), 1e-8), lower, upper)
-  du = jax.lax.fori_loop(0, iters, body, du)
+  # static unroll: projected-Newton iterations are tiny (nu x nu) ops;
+  # a while-loop here serializes dispatch inside the already-sequential
+  # Riccati recursion
+  for i in range(iters):
+    du = body(i, du)
 
   grad = qu + quu @ du
   at_lower = (du <= lower + 1e-9) & (grad > 0)
@@ -188,8 +197,11 @@ def backward_pass(a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, reg,
   init = (cx[t_end], cxx[t_end])
   inputs = (a, b, cx[:-1], cu[:-1], cxx[:-1], cxu[:-1], cuu[:-1],
             du_lower, du_upper)
+  # unrolled scan: the recursion is sequential latency-bound micro-ops
+  # (nu x nu / ndx x ndx matrices); unrolling lets XLA fuse across steps
+  # and cuts the per-step dispatch overhead that dominated this phase
   (_, _), (ks, kmats, dv1s, dv2s, bads) = jax.lax.scan(
-      step, init, inputs, reverse=True)
+      step, init, inputs, reverse=True, unroll=8)
   ok = ~jnp.any(bads)
   return ks, kmats, (jnp.sum(dv1s), jnp.sum(dv2s)), ok
 
@@ -421,11 +433,11 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
       feedback_scaling = jnp.ones((), dtype)
     times = template.time + m.opt.timestep * jnp.arange(horizon, dtype=dtype)
 
-    # 2. derivatives along the nominal
-    a, b = deriv.model_derivatives(
-        m, template, states[:-1], actions[:-1], times[:-1])
-    cx, cu, cxx, cxu, cuu = deriv.cost_derivatives(
-        m, template, rf, cs, states, actions, times)
+    # 2. derivatives along the nominal — fused model+cost AD sweep
+    #    (one forward trace per tangent; see deriv.trajectory_derivatives)
+    a, b, cx, cu, cxx, cxu, cuu = deriv.trajectory_derivatives(
+        m, template, rf, cs, states, actions, times,
+        skip=config.derivative_skip)
 
     # 3. backward pass with regularization escalation on failure
     du_lower = lo_ctrl[None] - actions[:-1]

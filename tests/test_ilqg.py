@@ -153,6 +153,7 @@ def test_surprise_regularization_schedule():
   assert float(regb) == pytest.approx(1000.0)  # 1 * 10 * 100
 
 
+@pytest.mark.slow
 def test_feedback_beats_feedforward_under_disturbance():
   """Time-indexed feedback gains must reject a state disturbance better
   than replaying the feedforward actions (the point of the iLQG policy,
@@ -189,6 +190,7 @@ def test_feedback_beats_feedforward_under_disturbance():
   assert cost_fb < cost_ff, (cost_fb, cost_ff)
 
 
+@pytest.mark.slow
 def test_agent_passes_state_to_feedback_planners():
   from mujoco_mpc_tpu.agent import agent as agent_lib
   task = registry.get_task("Cartpole")
@@ -215,6 +217,7 @@ def test_ilqg_cartpole_improves():
   assert rets[-1] < rets[0], rets
 
 
+@pytest.mark.slow
 def test_derivative_skip_interpolation():
   """skip>1 evaluates a subset and interpolates (model_derivatives.cc:57-72
   parity); interpolated Jacobians must stay close to exact on a smooth
