@@ -174,6 +174,10 @@ class Agent:
   def plan_iteration(self):
     """One planner iteration from the current (estimated) state
     (agent.cc:270-315; state source app.cc:151-206)."""
+    # snapshot the pre-update policy: the reference keeps previous_policy
+    # when the winner is copied in (sampling/planner.cc:525-534) and
+    # Step(use_previous_policy) samples it (grpc agent.proto:98)
+    self._previous_policy = getattr(self.planner, "policy", None)
     self.key, sub = jax.random.split(self.key)
     return self.planner.optimize(sub, self.plan_data())
 
@@ -186,6 +190,24 @@ class Agent:
       state = jnp.concatenate([d.qpos, d.qvel, d.act])
       return self.planner.action(self.data.time, state=state)
     return self.planner.action(self.data.time)
+
+  def action_previous(self) -> jax.Array:
+    """Action from the policy as it was BEFORE the last plan iteration
+    (reference previous_policy; used by Step(use_previous_policy))."""
+    prev = getattr(self, "_previous_policy", None)
+    if prev is None:
+      return self.action()
+    from mujoco_mpc_tpu import spline as spline_lib
+    if isinstance(prev, spline_lib.SplinePolicy):
+      u = spline_lib.sample(prev, jnp.asarray(self.data.time))
+      return jnp.clip(u, self.m.actuator_ctrlrange[:, 0],
+                      self.m.actuator_ctrlrange[:, 1])
+    cur = self.planner.policy
+    try:
+      self.planner.policy = prev
+      return self.action()
+    finally:
+      self.planner.policy = cur
 
   def step_env(self, action: Optional[jax.Array] = None):
     """Advance the environment one physics step with the policy action."""

@@ -152,7 +152,10 @@ class AgentServicer:
 
   def Step(self, request, context):
     agent = self._require()
-    agent.step_env()
+    if request.use_previous_policy:
+      agent.step_env(action=agent.action_previous())
+    else:
+      agent.step_env()
     return agent_pb2.StepResponse()
 
   def Reset(self, request, context):
@@ -173,6 +176,15 @@ class AgentServicer:
     agent = self._require()
     resp = agent_pb2.GetTaskParametersResponse()
     for name, value in agent.get_task_parameters().items():
+      if name.startswith("select_"):
+        # selection params answer with the option STRING
+        # (reference grpc_agent_util.cc GetTaskParameters oneof)
+        short = name[len("select_"):]
+        options = agent.task.selection_options(short)
+        idx = int(round(float(value)))
+        if 0 <= idx < len(options):
+          resp.parameters[short].selection = options[idx]
+          continue
       resp.parameters[name].numeric = float(value)
     return resp
 

@@ -60,6 +60,8 @@ class DirectServicer:
       kw = {}
       if s.HasField("max_smoother_iterations"):
         kw["max_iterations"] = s.max_smoother_iterations
+      if s.HasField("max_search_iterations"):
+        kw["ls_iterations"] = s.max_search_iterations
       if s.HasField("gradient_tolerance"):
         kw["gradient_tolerance"] = s.gradient_tolerance
       if s.HasField("cost_tolerance"):
@@ -67,11 +69,15 @@ class DirectServicer:
       if kw:
         import jax
         self.direct.settings = self.direct.settings.replace(**kw)
-        self.direct._solve = jax.jit(self.direct._make_solve())
+        self.direct._solve = jax.jit(
+            self.direct._make_solve_banded() if self.direct.banded
+            else self.direct._make_solve())
     resp = direct_pb2.SettingsResponse()
     resp.settings.configuration_length = self.direct.horizon
     resp.settings.max_smoother_iterations = \
         self.direct.settings.max_iterations
+    resp.settings.max_search_iterations = \
+        self.direct.settings.ls_iterations
     resp.settings.gradient_tolerance = \
         self.direct.settings.gradient_tolerance
     resp.settings.cost_tolerance = self.direct.settings.cost_tolerance
