@@ -4,6 +4,9 @@ reference mjpc/utilities.cc:807-902, mjpc/test/agent/utilities_test.cc)."""
 import numpy as np
 
 from mujoco_mpc_tpu.utils import geometry
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_hull_square_with_interior_points():

@@ -33,6 +33,7 @@ def test_score_fused_matches_reference():
   np.testing.assert_allclose(fused, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_lane_rollout_kernel_matches_pipeline():
   """The lane-parallel Pallas rollout kernel (ops/step_lane.py) must
   reproduce the jnp physics pipeline exactly (same discrete actions)."""
@@ -77,6 +78,7 @@ def test_lane_rollout_kernel_matches_pipeline():
   np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_lane_sampling_planner_particle():
   """The lane-kernel sampling fast path plans the particle task and
   matches the regular planner's behavior class (tracks the moving goal)."""
@@ -105,6 +107,7 @@ def test_lane_sampling_planner_particle():
   assert dist < 0.15, f"particle {dist} from goal (lane path)"
 
 
+@pytest.mark.slow
 def test_lane_kernel_joint_limits_match_pipeline():
   """Limit rows inside the lane kernel reproduce the pipeline's
   constrained dynamics exactly (cartpole slider driven into its stop)."""
@@ -134,6 +137,7 @@ def test_lane_kernel_joint_limits_match_pipeline():
   assert float(out[-1, 0, 0]) < 1.85
 
 
+@pytest.mark.slow
 def test_lane_kernel_ground_contact_matches_pipeline():
   """Plane-sphere contact inside the lane kernel (free-joint ball drop)
   reproduces the pipeline's constrained dynamics exactly."""
@@ -162,6 +166,7 @@ def test_lane_kernel_ground_contact_matches_pipeline():
     np.testing.assert_allclose(out[t, :, 0], ref, atol=3e-4)
     d = step(d)
 
+@pytest.mark.slow
 def test_lane_kernel_quadruped_residual_matches_pipeline():
   """In-kernel task residual rows (lane_residual_spec) must match the
   pipeline residual evaluated at the same states/controls/time."""
@@ -502,6 +507,7 @@ def test_lane_kernel_quadrotor_site_transmission_exact():
     qp, qv = qp2, qv2
 
 
+@pytest.mark.slow
 def test_lane_kernel_swimmer_fluid_exact():
   """In-kernel inertia-box fluid (viscosity/density): swimmer dynamics
   match the pipeline step exactly. Before this the kernel silently
@@ -547,6 +553,7 @@ def test_lane_kernel_swimmer_fluid_exact():
     qp, qv = qp2, qv2
 
 
+@pytest.mark.slow
 def test_ilqg_lane_rollouts_match_pipeline():
   """iLQG's lane-kernel line-search rollouts: same returns / chosen
   alpha as the vmapped pipeline feedback rollouts (acrobot, tiny
@@ -669,6 +676,7 @@ def test_lane_kernel_rubik_residual_matches_pipeline():
                                atol=5e-4, err_msg=f"k={k}")
 
 
+@pytest.mark.slow
 def test_lane_kernel_body_contacts_match_pipeline():
   """Body-body contacts in-kernel (hand-cube capsule/box pairs on the
   Rubik plan model): a kernel step from contact-rich states matches the
@@ -677,8 +685,17 @@ def test_lane_kernel_body_contacts_match_pipeline():
   from mujoco_mpc_tpu.physics import forward as F
   from mujoco_mpc_tpu.tasks import registry
 
+  import mujoco
+  from mujoco_mpc_tpu.physics import model as model_lib
   task = registry.get_task("Rubik")
-  m = task.plan_model
+  # reduced Newton schedule in the MODEL so the kernel and the pipeline
+  # stay bit-identical while the CPU XLA compile of the full nv=21 step
+  # shrinks ~3x (this test was the suite's single worst compile)
+  xml = task.plan_xml().replace(
+      "<custom>",
+      '<custom><numeric name="solver_iterations" data="2"/>'
+      '<numeric name="solver_ls_iterations" data="1"/>')
+  m = model_lib.put_model(mujoco.MjModel.from_xml_string(xml))
   assert step_lane.supports(m, ground_only=True, body_pairs=True)
   kernel = step_lane.build_rollout_kernel(
       m, 2, 2, interpret=True, body_pairs=True)
@@ -793,6 +810,7 @@ def test_lane_returns_fn_matches_discrete_reference():
                              rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_lane_cem_particle():
   """CEM on the lane fast path plans the particle task: elite refit from
   lane-kernel returns tracks the goal (behavior-class check — the lane
@@ -825,6 +843,7 @@ def test_lane_cem_particle():
   assert dist < 0.15, f"particle {dist} from goal (lane CEM)"
 
 
+@pytest.mark.slow
 def test_lane_sample_gradient_particle():
   """Sample-Gradient on the lane fast path: both candidate batches
   (noisy + gradient) score on the lane kernel; the planner strictly

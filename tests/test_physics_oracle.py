@@ -35,6 +35,7 @@ def _randomize(mjm, mjd, rng, vel_scale=1.0):
   return mjd
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("xml", [test_models.CHAIN, test_models.FLOATER])
 def test_kinematics_matches_mujoco(xml):
   mjm = mujoco.MjModel.from_xml_string(xml)

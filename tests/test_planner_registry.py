@@ -3,6 +3,8 @@
 import jax
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from mujoco_mpc_tpu import planners
 from mujoco_mpc_tpu.physics import forward
 from mujoco_mpc_tpu.tasks import registry

@@ -8,6 +8,8 @@ import mujoco
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from mujoco_mpc_tpu.physics import forward as F
 from mujoco_mpc_tpu.physics import model as M
 from mujoco_mpc_tpu.tasks import registry
