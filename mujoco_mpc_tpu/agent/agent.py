@@ -335,6 +335,15 @@ class Agent:
         "steps": horizon,
     }
 
+  def save_trajectory_html(self, path: str) -> str:
+    """Export the current best trajectory as a standalone HTML viewer
+    (utils/viewer.py — the headless stand-in for the reference GUI's
+    trajectory traces, simulate.cc)."""
+    from mujoco_mpc_tpu.utils import viewer
+    traj = self.best_trajectory()
+    return viewer.save_trajectory_html(
+        path, self.m, self.data, traj["states"], times=traj["times"])
+
   def set_task_parameter(self, name: str, value: float):
     full = f"residual_{name}"
     idx = 0

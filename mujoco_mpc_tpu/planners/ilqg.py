@@ -145,7 +145,8 @@ def _boxqp(quu, qu, lower, upper, iters: int):
 
 
 def backward_pass(a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, reg,
-                  boxqp_iters: int, reg_type: int = REG_CONTROL):
+                  boxqp_iters: int, reg_type: int = REG_CONTROL,
+                  unroll: int = 8):
   """Riccati recursion with selectable regularization type
   (reference backward_pass.cc:65-247).
 
@@ -201,7 +202,7 @@ def backward_pass(a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, reg,
   # (nu x nu / ndx x ndx matrices); unrolling lets XLA fuse across steps
   # and cuts the per-step dispatch overhead that dominated this phase
   (_, _), (ks, kmats, dv1s, dv2s, bads) = jax.lax.scan(
-      step, init, inputs, reverse=True, unroll=8)
+      step, init, inputs, reverse=True, unroll=unroll)
   ok = ~jnp.any(bads)
   return ks, kmats, (jnp.sum(dv1s), jnp.sum(dv2s)), ok
 

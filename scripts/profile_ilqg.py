@@ -8,6 +8,7 @@ Mirrors the reference's per-phase timers (ilqg/planner.cc:609-614).
 Usage: python scripts/profile_ilqg.py [Swimmer|Walker] [horizon]
 """
 
+import functools
 import json
 import os
 import sys
@@ -95,17 +96,42 @@ def main():
       bp, a_, b_, cx, cu, cxx, cxu, cuu, lo, hi, policy.reg)
   results["backward_pass_ms"] = round(1e3 * t_bp, 2)
 
-  # line-search rollouts (lane path when the planner uses it)
-  opt = ilqg_lib.make_optimize_fn(
-      m, rf, cs.cost, cs, config,
-      lane_spec=planner._lane_spec(task, None),
-      lane_interpret=jax.devices()[0].platform != "tpu")
-  # time the nominal+ls together via the full iteration minus the rest
-  known = (results["model_derivatives_ms"]
-           + results["cost_derivatives_ms"]
-           + results["backward_pass_ms"])
-  results["rollouts_and_rest_ms"] = round(
-      results["full_iteration_ms"] - known, 2)
+  # fused sweep (what the optimize fn actually runs)
+  fd = jax.jit(lambda s, a, t: deriv.trajectory_derivatives(
+      m, template, rf, cs, s, a, t, skip=skip))
+  t_fd, _ = timeit(fd, states, actions, times)
+  results["fused_derivatives_ms"] = round(1e3 * t_fd, 2)
+
+  # backward pass unroll sensitivity
+  for unroll in (16, min(horizon - 1, 64)):
+    bpu = jax.jit(functools.partial(
+        ilqg_lib.backward_pass, boxqp_iters=config.boxqp_iters,
+        reg_type=config.reg_type, unroll=unroll))
+    t_u, _ = timeit(bpu, a_, b_, cx, cu, cxx, cxu, cuu, lo, hi, policy.reg)
+    results[f"backward_pass_u{unroll}_ms"] = round(1e3 * t_u, 2)
+
+  # lane line-search rollouts standalone (the two batch_rollouts calls)
+  lane_spec = planner._lane_spec(task, None)
+  if lane_spec is not None:
+    lane_fb = ilqg_lib._make_lane_feedback(
+        m, lane_spec, horizon,
+        interpret=jax.devices()[0].platform != "tpu")
+    d0f = F.forward(m, d0)
+    dtype = actions.dtype
+    zero_k = jnp.zeros_like(actions[:-1])
+    for label, kc in (("nominal", config.num_fb_scales),
+                      ("action", config.num_alphas)):
+      fn = jax.jit(lambda al, sc: lane_fb(
+          d0f, states, actions, zero_k, kmats, al, sc,
+          task.residual_params, cs))
+      t_l, _ = timeit(fn, jnp.zeros((kc,), dtype), jnp.ones((kc,), dtype))
+      results[f"lane_{label}_ls_ms"] = round(1e3 * t_l, 2)
+
+  known = (results["fused_derivatives_ms"]
+           + results["backward_pass_ms"]
+           + results.get("lane_nominal_ls_ms", 0)
+           + results.get("lane_action_ls_ms", 0))
+  results["rest_ms"] = round(results["full_iteration_ms"] - known, 2)
   results["skip"] = skip
   print(json.dumps(results), flush=True)
 

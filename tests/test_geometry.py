@@ -6,9 +6,9 @@ import numpy as np
 from mujoco_mpc_tpu.utils import geometry
 import pytest
 
-pytestmark = pytest.mark.smoke
 
 
+@pytest.mark.smoke
 def test_hull_square_with_interior_points():
   pts = np.array([[0, 0], [1, 0], [1, 1], [0, 1],
                   [0.5, 0.5], [0.25, 0.75]])
@@ -21,6 +21,7 @@ def test_hull_square_with_interior_points():
   assert area > 0
 
 
+@pytest.mark.smoke
 def test_hull_degenerate():
   assert geometry.hull2d(np.zeros((0, 2))).tolist() == []
   assert geometry.hull2d(np.array([[1.0, 2.0]])).tolist() == [0]
@@ -30,6 +31,7 @@ def test_hull_degenerate():
   assert set(col.tolist()) == {0, 3}
 
 
+@pytest.mark.smoke
 def test_hull_random_matches_bruteforce():
   rng = np.random.default_rng(0)
   for _ in range(20):
@@ -41,6 +43,7 @@ def test_hull_random_matches_bruteforce():
       assert np.linalg.norm(q - p) < 1e-9
 
 
+@pytest.mark.smoke
 def test_nearest_in_hull_inside_and_outside():
   pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2.0]])
   hull = geometry.hull2d(pts)

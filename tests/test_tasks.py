@@ -8,13 +8,12 @@ import mujoco
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.smoke
-
 from mujoco_mpc_tpu.physics import forward as F
 from mujoco_mpc_tpu.physics import model as M
 from mujoco_mpc_tpu.tasks import registry
 
 
+@pytest.mark.smoke
 def test_registry_lists_tasks():
   names = registry.task_names()
   assert "Cartpole" in names
@@ -22,6 +21,7 @@ def test_registry_lists_tasks():
   assert "Swimmer" in names
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("name", ["Cartpole", "Particle", "Swimmer"])
 def test_task_model_steps_match_mujoco(name):
   """Closed-loop fidelity vs the C oracle on each task's own model."""
@@ -58,6 +58,7 @@ def test_particle_tracks_goal():
   assert dist < 0.1, f"particle {dist} from goal"
 
 
+@pytest.mark.smoke
 def test_cem_improves():
   # ParticleFixed from a displaced start: a landscape CEM reliably
   # descends (cartpole-from-hanging plateaus at this budget and the old
@@ -79,9 +80,12 @@ def test_cem_improves():
   assert rets[-1] < 0.95 * rets[0], rets
 
 
+@pytest.mark.slow
 def test_all_registered_tasks_load_and_step():
   """Every registered task: model loads, steps finite, residual dims match
-  the cost spec (reference task registry test pattern, task_test.cc)."""
+  the cost spec (reference task registry test pattern, task_test.cc).
+  Slow tier: compiles a step for all 24 models incl. the 54-cubie Cube
+  Solving sim rig (~3 min of CPU XLA on a cold cache)."""
   for name in registry.task_names():
     task = registry.get_task(name)
     d = task.make_data()
