@@ -170,6 +170,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                          cost_terms=None,
                          body_pairs: bool = False,
                          ctrl_fn=None, naux_extra: int = 0,
+                         scalar_rows: int = 0,
                          profile_phase: str = None) -> Callable:
   """Returns fn(qpos0 (nq,K), qvel0 (nv,K), values (P*nu, K)) ->
   states (horizon, nq+nv, K) for a zero-order-hold spline with
@@ -1068,14 +1069,20 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
   if cost_terms:
     assert residual_fn is not None and not record_states
     assert sum(d for _, d in cost_terms) == residual_dim
-  # ctrl_fn(t, qpos, qvel, vals, aux_dyn) -> [nu lane arrays] replaces
-  # the spline node gather (feedback policies: u = u_nom + a k + K dx,
-  # ilqg/policy.cc:82-140). vals(i) reads values_ref rows (per-candidate
-  # scalars, e.g. line-search alpha); aux_dyn(i) reads raw aux rows —
-  # naux_extra appends per-step rows that are NEVER materialized outside
-  # the loop (read stride-at-a-time inside the step).
+  # ctrl_fn(t, qpos, qvel, vals, aux_dyn, scal) -> [nu lane arrays]
+  # replaces the spline node gather (feedback policies:
+  # u = u_nom + a k + K dx, ilqg/policy.cc:82-140). vals(i) reads
+  # values_ref rows (per-candidate scalars, e.g. line-search alpha);
+  # aux_dyn(i) reads raw aux rows — naux_extra appends per-step rows
+  # that are NEVER materialized outside the loop. scal(i) reads the
+  # scalar_rows-long SMEM table: per-step values SHARED across
+  # candidates (nominal trajectory, gains) live there as true scalars
+  # — one broadcast fma each — instead of lane-replicated VMEM rows
+  # (which cost a dynamic row load per use and 128x the memory).
   if ctrl_fn is not None:
     assert residual_fn is not None, "ctrl_fn requires an in-kernel residual"
+  if scalar_rows:
+    assert residual_fn is not None and ctrl_fn is not None
   naux_kernel = naux + 2 * nterm
   naux_eff = (max(naux_kernel, 1) + naux_extra
               if residual_fn is not None else 0)
@@ -1094,7 +1101,10 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
   def kernel(qpos_ref, qvel_ref, values_ref, *rest):
     norm_p = None
+    scal_ref = None
     if residual_fn is not None:
+      if scalar_rows:
+        scal_ref, rest = rest[1], (rest[0],) + rest[2:]
       if record_states:
         aux_ref, out_ref = rest
         res_ref = final_ref = sums_ref = None
@@ -1113,6 +1123,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       res_ref = final_ref = sums_ref = None
       aux = None
       aux_dyn = None
+    scal = (lambda i: scal_ref[i]) if scal_ref is not None else None
 
     def write_step(t, qpos, qvel, res):
       if record_states:
@@ -1134,7 +1145,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     if unroll:
       for t in range(horizon):
         if ctrl_fn is not None:
-          ctrl = ctrl_fn(t, qpos, qvel, vals, aux_dyn)
+          ctrl = ctrl_fn(t, qpos, qvel, vals, aux_dyn, scal)
         else:
           node = node_of_step[t]
           ctrl = [values_ref[node * nu + u] for u in range(nu)]
@@ -1152,7 +1163,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         qpos, qvel, sums = (list(carry[0]), list(carry[1]),
                             list(carry[2]))
         if ctrl_fn is not None:
-          ctrl = ctrl_fn(t, qpos, qvel, vals, aux_dyn)
+          ctrl = ctrl_fn(t, qpos, qvel, vals, aux_dyn, scal)
         else:
           node = jnp.minimum((t * num_nodes) // max(horizon - 1, 1),
                              num_nodes - 1)
@@ -1194,7 +1205,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
     KB //= 2
 
   @jax.jit
-  def _rollout_jit(qpos0, qvel0, values, aux=None):
+  def _rollout_jit(qpos0, qvel0, values, aux=None, scal=None):
     k = qpos0.shape[-1]
     if nu == 0:  # pallas rejects zero-size operands
       values = jnp.zeros((1, k), qpos0.dtype)
@@ -1204,6 +1215,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       if aux is None or (naux == 0 and naux_extra == 0):
         aux = jnp.zeros((naux_eff, k), qpos0.dtype)
       inputs.append(aux)
+    if scalar_rows:
+      assert scal is not None and scal.shape == (scalar_rows,)
     nout = nq + nv + nr
 
     # folded lane layout: the candidate axis becomes (K//128, 128) so
@@ -1261,12 +1274,25 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       compiler_params = pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024)
     if k <= KB or k % KB != 0:
+      if scalar_rows:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
+                    for _ in inputs]
+        in_specs.insert(4, pl.BlockSpec(memory_space=pltpu.SMEM))
+        return unfold(pl.pallas_call(
+            kernel,
+            in_specs=in_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=compiler_params,
+        )(*inputs[:4], scal, *inputs[4:]))
       return unfold(pl.pallas_call(
           kernel,
           out_shape=out_shape,
           interpret=interpret,
           compiler_params=compiler_params,
       )(*inputs))
+    assert not scalar_rows, \
+        "scalar_rows is single-block only (feedback line searches)"
     grid = (k // KB,)
     if folded:
       sb = KB // 128
@@ -1317,7 +1343,9 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         compiler_params=compiler_params,
     )(*inputs))
 
-  def rollout(qpos0, qvel0, values, aux=None):
+  def rollout(qpos0, qvel0, values, aux=None, scal=None):
+    if scalar_rows:
+      return _rollout_jit(qpos0, qvel0, values, aux, scal)
     return _rollout_jit(qpos0, qvel0, values, aux)
 
   def step_array(qpos, qvel, ctrl, t=0, aux=None):

@@ -270,19 +270,23 @@ def _make_lane_feedback(m: Model, lane_spec, horizon: int,
   lo = np.asarray(g(m.actuator_ctrlrange))[:, 0]
   hi = np.asarray(g(m.actuator_ctrlrange))[:, 1]
 
-  def ctrl_fn(t, qpos, qvel, vals, aux_dyn):
+  def ctrl_fn(t, qpos, qvel, vals, aux_dyn, scal):
+    # per-step nominal/gain values are SHARED across candidates: read
+    # them as true scalars from the SMEM table (one broadcast fma per
+    # gain entry); dx is hoisted out of the actuator loop — nx vector
+    # subs + nu*nx fmas per step instead of nu*(2nx) row loads+fmas
     alpha, scale = vals(0), vals(1)
-    base = naux0 + t * stride
+    base = t * stride
     xb = base + 2 * nu + nu * nx
+    dx = ([qpos[i] - scal(xb + i) for i in range(nv)]
+          + [qvel[i] - scal(xb + nq + i) for i in range(nv)])
     us = []
     for u in range(nu):
-      c = aux_dyn(base + u) + alpha * aux_dyn(base + nu + u)
+      c = scal(base + u) + alpha * scal(base + nu + u)
       g0 = base + 2 * nu + u * nx
-      acc = c * 0.0
-      for i in range(nv):
-        acc = acc + aux_dyn(g0 + i) * (qpos[i] - aux_dyn(xb + i))
-      for i in range(nv):
-        acc = acc + aux_dyn(g0 + nv + i) * (qvel[i] - aux_dyn(xb + nq + i))
+      acc = scal(g0) * dx[0]
+      for i in range(1, nx):
+        acc = acc + scal(g0 + i) * dx[i]
       us.append(jnp.clip(c + scale * acc, float(lo[u]), float(hi[u])))
     return us
 
@@ -290,7 +294,7 @@ def _make_lane_feedback(m: Model, lane_spec, horizon: int,
       m, horizon, 1, interpret=interpret, unroll=False,
       residual_fn=lane_spec["fn"], residual_dim=nr, naux=naux0,
       record_states=True, ctrl_fn=ctrl_fn,
-      naux_extra=horizon * stride)
+      scalar_rows=horizon * stride)
   make_aux = lane_spec["make_aux"]
 
   def rollouts(d0, pol_states, pol_actions, ks, kmats, alphas, scales,
@@ -308,17 +312,18 @@ def _make_lane_feedback(m: Model, lane_spec, horizon: int,
     aux0 = jnp.zeros((naux0,), dtype)
     if lane_spec["naux"] > 0:
       aux0 = make_aux(d0, residual_params).astype(dtype)
+    aux = jnp.tile(aux0[:, None], (1, kp))
     # per-step blocks: u_nom, k, K (row-major), x_nom — final block
-    # pads k/K with zeros (the pipeline's appended last action)
+    # pads k/K with zeros (the pipeline's appended last action); these
+    # are candidate-independent, so they ride the SMEM scalar table
     u_pad = jnp.concatenate([pol_actions[:-1], pol_actions[-1:]], 0)
     k_pad = jnp.concatenate([ks, jnp.zeros((1, nu), dtype)], 0)
     km_pad = jnp.concatenate([kmats, jnp.zeros((1, nu, nx), dtype)], 0)
     blocks = jnp.concatenate([
         u_pad, k_pad, km_pad.reshape(horizon, nu * nx),
         pol_states.astype(dtype)], axis=1)          # (H, stride)
-    aux = jnp.concatenate([aux0, blocks.reshape(-1)])
-    aux = jnp.tile(aux[:, None], (1, kp))
-    out = kernel(qpos0, qvel0, values, aux)         # (H, nq+nv+nr, kp)
+    out = kernel(qpos0, qvel0, values, aux,
+                 blocks.reshape(-1))                # (H, nq+nv+nr, kp)
     states = jnp.moveaxis(out[:, :nq + nv, :kc], 2, 0)   # (K,H,S)
     res = jnp.moveaxis(out[:, nq + nv:, :kc], 2, 0)      # (K,H,nr)
     costs = cs.cost(res)                                  # (K,H)
@@ -343,7 +348,8 @@ def _make_lane_feedback(m: Model, lane_spec, horizon: int,
 def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
                      config: ILQGConfig, mesh=None,
                      residual_fn_with_params=None, lane_spec=None,
-                     lane_interpret: bool = False):
+                     lane_interpret: bool = False,
+                     riccati_lane_mode: Optional[bool] = None):
   horizon = config.horizon
   nx = deriv.ndx(m)
   lo_ctrl = m.actuator_ctrlrange[:, 0]
@@ -352,6 +358,25 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
   lane_fb = None
   if lane_spec is not None:
     lane_fb = _make_lane_feedback(m, lane_spec, horizon, lane_interpret)
+
+  # backward pass: single-program Pallas sweep when the sizes fit
+  # (ops/riccati_lane.py); XLA scan otherwise. Auto = TPU only.
+  from mujoco_mpc_tpu.ops import riccati_lane
+  if riccati_lane_mode is None:
+    riccati_lane_mode = (jax.devices()[0].platform == "tpu"
+                         and os.environ.get("MJPC_TPU_RICCATI_LANE",
+                                            "1") != "0")
+  if riccati_lane_mode and riccati_lane.supports(nx, int(m.nu), horizon):
+    _bp_kernel = riccati_lane.build_backward_kernel(
+        nx, int(m.nu), horizon, config.boxqp_iters, config.reg_type,
+        interpret=lane_interpret
+        and jax.devices()[0].platform != "tpu")
+    backward = lambda a, b, cx, cu, cxx, cxu, cuu, lo, hi, reg: \
+        _bp_kernel(a, b, cx, cu, cxx, cxu, cuu, lo, hi, reg)
+  else:
+    backward = lambda a, b, cx, cu, cxx, cxu, cuu, lo, hi, reg: \
+        backward_pass(a, b, cx, cu, cxx, cxu, cuu, lo, hi, reg,
+                      config.boxqp_iters, config.reg_type)
 
   def feedback_rollout(rf, cf, d0, pol_states, pol_actions, ks, kmats,
                        alpha, fb_scale):
@@ -401,7 +426,11 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
     cs = cost_spec if cost_spec is not None else cost_spec_default
     cf = cs.cost
     dtype = policy.actions.dtype
-    template = F.forward(m, d0)
+    # d0 serves directly as the derivative-sweep template: set_state
+    # overwrites the state fields and fwd_next_res re-runs the forward
+    # pipeline, so forwarding d0 here would only burn ~1.5 ms of
+    # latency-bound unbatched physics per iteration
+    template = d0
 
     # 1. nominal trajectory: line search over feedback scaling
     #    (NominalTrajectory/FeedbackRollouts, planner.cc:167-223,683-712):
@@ -461,14 +490,12 @@ def make_optimize_fn(m: Model, residual_fn, cost_fn, cost_spec,
     def body(carry):
       reg, _, _, _, _, _, tries = carry
       reg_new = jnp.minimum(reg * config.reg_factor, config.reg_max)
-      ks, kmats, dv, ok = backward_pass(
-          a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, reg_new,
-          config.boxqp_iters, config.reg_type)
+      ks, kmats, dv, ok = backward(
+          a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, reg_new)
       return (reg_new, ks, kmats, dv[0], dv[1], ok, tries + 1)
 
-    ks0, kmats0, dv0, ok0 = backward_pass(
-        a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, policy.reg,
-        config.boxqp_iters, config.reg_type)
+    ks0, kmats0, dv0, ok0 = backward(
+        a, b, cx, cu, cxx, cxu, cuu, du_lower, du_upper, policy.reg)
     reg, ks, kmats, dv1, dv2, ok, _ = jax.lax.while_loop(
         cond, body, (policy.reg, ks0, kmats0, dv0[0], dv0[1], ok0,
                      jnp.zeros((), jnp.int32)))
