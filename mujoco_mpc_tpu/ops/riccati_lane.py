@@ -20,8 +20,9 @@ is computed with unit diagonal on clamped/padded rows, and
 zero exactly the clamped rows/columns (clamped rows of inv are identity
 rows, so the lane mask kills them in the contraction).
 
-Eligibility: ndx <= 32, nu <= 8, T <= 128 (VMEM working set ~60KB per
-step row). Callers fall back to the XLA path outside the gate.
+Eligibility: ndx <= 128, nu <= 32, and the per-horizon input arrays
+must fit the VMEM budget (see `supports`). Callers fall back to the XLA
+path outside the gate.
 """
 
 from __future__ import annotations
@@ -33,12 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 REG_CONTROL, REG_STATE_CONTROL, REG_VALUE, REG_NONE = 0, 1, 2, 3
 
-_NXS = 32   # padded sublane rows for ndx-indexed matrices
-_NUS = 8    # padded sublane rows for nu-indexed matrices
+def _round8(n):
+  return max(8, -(-n // 8) * 8)
 
 
 def supports(ndx: int, nu: int, horizon: int) -> bool:
-  return ndx <= _NXS and nu <= _NUS and horizon <= 128
+  """Kernel eligibility: row vectors need ndx/nu <= 128 lanes; the
+  Gauss-Jordan unroll wants nu modest; inputs must fit VMEM (~10MB)."""
+  if ndx > 128 or nu > 32 or horizon > 512:
+    return False
+  nxs, nus = _round8(ndx), _round8(nu)
+  t = horizon
+  vmem = 4 * 128 * (2 * (t - 1) * nxs + t * nxs + 2 * t * nus
+                    + t * 8 + (t - 1) * (nus + 1))
+  return vmem <= 10 * 1024 * 1024
 
 
 def _row_iota(n):
@@ -55,16 +64,17 @@ def build_backward_kernel(ndx: int, nu: int, horizon: int,
   assert supports(ndx, nu, horizon)
   T = horizon
   f32 = jnp.float32
+  nxs, nus = _round8(ndx), _round8(nu)
 
   def u_valid_row():
     # (1, 128) mask of real u dims, built in-kernel (no closed-over
     # device constants inside the Pallas trace)
     return (_row_iota(nu) < nu).astype(f32)
 
-  def eye8():
+  def eye_u():
     return jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (_NUS, 128), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (_NUS, 128), 1),
+        jax.lax.broadcasted_iota(jnp.int32, (nus, 128), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (nus, 128), 1),
         1.0, 0.0).astype(f32)
 
   def pad_sq(tile):
@@ -81,30 +91,30 @@ def build_backward_kernel(ndx: int, nu: int, horizon: int,
     block with unit diagonal on clamped/padded rows (cols >= nu or
     masked rows carry identity). No pivoting: diagonal stays >= reg.
     Row writes via sublane-iota masks (Mosaic has no update_slice)."""
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (_NUS, 1), 0)
-    aug = jnp.concatenate([quu_m, eye8()], axis=1)   # (8, 256)
-    for i in range(_NUS):
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (nus, 1), 0)
+    aug = jnp.concatenate([quu_m, eye_u()], axis=1)   # (nus, 256)
+    for i in range(nus):
       piv = aug[i:i + 1, i:i + 1]                     # static (1, 1)
       row = aug[i:i + 1, :] / piv
       col = aug[:, i:i + 1]
       aug = aug - col * row
       aug = jnp.where(row_id == i, row, aug)
-    return aug[:, 128:]                               # (8, 128)
+    return aug[:, 128:]                               # (nus, 128)
 
   def masked_quu(quu8, fmask):
     """Row+column mask the (8, 128) Quu tile, unit diagonal on
     clamped/padded rows. Row masking uses the transposed lane mask."""
     # row mask without a transpose: fcol[i] = fmask[0, i] via the
     # identity-selector lane reduction
-    fcol = jnp.sum(eye8() * fmask, axis=1, keepdims=True)  # (8, 1)
-    return quu8 * fmask * fcol + eye8() * (1.0 - fmask * fcol)
+    fcol = jnp.sum(eye_u() * fmask, axis=1, keepdims=True)  # (8, 1)
+    return quu8 * fmask * fcol + eye_u() * (1.0 - fmask * fcol)
 
   def boxqp(quu8, quu_f, qu, lo, hi):
     """Projected-Newton box QP in row space. quu8: (8,128) regularized
     Quu; quu_f: its (128,128) padded form; qu/lo/hi: (1,128) rows.
     Returns (du row, fmask row, inv (8,128) for the gain solve)."""
     u_valid = u_valid_row()
-    diag = jnp.sum(quu8 * eye8(), axis=0, keepdims=True)  # (1,128)
+    diag = jnp.sum(quu8 * eye_u(), axis=0, keepdims=True)  # (1,128)
     du = jnp.clip(-qu / jnp.maximum(diag, 1e-8), lo, hi) * u_valid
     fmask = u_valid
     inv = None
@@ -138,7 +148,7 @@ def build_backward_kernel(ndx: int, nu: int, horizon: int,
     def body(i, carry):
       vx, vxx, dv1, dv2, bad = carry
       t = T - 2 - i
-      a8 = a_ref[t]                                   # (32, 128)
+      a8 = a_ref[t]                                   # (nxs, 128)
       b8 = b_ref[t]
       a_f = pad_sq(a8)
       b_f = pad_sq(b8)
@@ -173,7 +183,7 @@ def build_backward_kernel(ndx: int, nu: int, horizon: int,
             preferred_element_type=f32)
       elif reg_type == REG_CONTROL:
         qux_reg = qux
-        quu_reg = quu_u + reg * pad_sq(eye8() * u_valid)
+        quu_reg = quu_u + reg * pad_sq(eye_u() * u_valid)
       elif reg_type == REG_STATE_CONTROL:
         # Qxu + mu A'B, Quu + mu B'B (backward_pass.cc:116-153)
         qux_reg = qux + reg * jax.lax.dot_general(
@@ -184,9 +194,9 @@ def build_backward_kernel(ndx: int, nu: int, horizon: int,
             preferred_element_type=f32)
       else:  # REG_NONE
         qux_reg = qux
-        quu_reg = quu_u + 1e-9 * pad_sq(eye8() * u_valid)
+        quu_reg = quu_u + 1e-9 * pad_sq(eye_u() * u_valid)
 
-      quu_reg8 = quu_reg[:_NUS, :]
+      quu_reg8 = quu_reg[:nus, :]
       k, fmask, inv = boxqp(quu_reg8, quu_reg, qu, lo, hi)
       # K = -inv_ff Qux_reg on the free set; clamped rows of inv are
       # identity rows, and the lane mask kills their contraction term,
@@ -194,8 +204,8 @@ def build_backward_kernel(ndx: int, nu: int, horizon: int,
       # the explicit row mask below (module docstring)
       kmat = jax.lax.dot_general(
           inv * fmask, qux_reg, (((1,), (0,)), ((), ())),
-          preferred_element_type=f32) * (-1.0)       # (8, 128)
-      fcol = jnp.sum(eye8() * fmask, axis=1, keepdims=True)
+          preferred_element_type=f32) * (-1.0)       # (nus, 128)
+      fcol = jnp.sum(eye_u() * fmask, axis=1, keepdims=True)
       kmat = kmat * fcol                              # zero clamped rows
       kmat_f = pad_sq(kmat)
 
@@ -242,11 +252,11 @@ def build_backward_kernel(ndx: int, nu: int, horizon: int,
     pad_r = lambda x, rows: jnp.pad(
         x.astype(f), ((0, 0), (0, rows - x.shape[1]),
                       (0, 128 - x.shape[2])))
-    a_p = pad_r(a, _NXS)                               # (T-1, 32, 128)
-    b_p = pad_r(b, _NXS)
-    cxx_p = pad_r(cxx, _NXS)                           # (T, 32, 128)
-    cux_p = pad_r(jnp.swapaxes(cxu, 1, 2), _NUS)       # (T, 8, 128)
-    cuu_p = pad_r(cuu, _NUS)
+    a_p = pad_r(a, nxs)                                # (T-1, nxs, 128)
+    b_p = pad_r(b, nxs)
+    cxx_p = pad_r(cxx, nxs)                            # (T, nxs, 128)
+    cux_p = pad_r(jnp.swapaxes(cxu, 1, 2), nus)        # (T, nus, 128)
+    cuu_p = pad_r(cuu, nus)
     # vecs rows: 0=cx(+pad after T-1), 1=cu, 2=lo, 3=hi, 4=cx (terminal)
     pad_v = lambda x: jnp.pad(x.astype(f), ((0, 0), (0, 128 - x.shape[1])))
     zu = jnp.zeros((1, 128), f)
@@ -265,7 +275,7 @@ def build_backward_kernel(ndx: int, nu: int, horizon: int,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((T - 1, 128), f),
-            jax.ShapeDtypeStruct((T - 1, _NUS, 128), f),
+            jax.ShapeDtypeStruct((T - 1, nus, 128), f),
             jax.ShapeDtypeStruct((1, 128), f),
         ],
         interpret=interpret,

@@ -63,6 +63,29 @@ def test_riccati_kernel_matches_xla(reg_type, tight_limits):
   assert bool(ok) == bool(ok_ref)
 
 
+@pytest.mark.parametrize("ndx,nu", [(36, 12), (54, 21)])
+def test_riccati_kernel_robot_sizes(ndx, nu):
+  """Quadruped-class (ndx=36, nu=12) and humanoid-class (ndx=54, nu=21)
+  shapes through the generalized padding (nus=16/24, nxs=40/56)."""
+  T, iters = 5, 4
+  assert riccati_lane.supports(ndx, nu, T)
+  prob = _random_problem(T, ndx, nu, seed=7 * ndx + nu,
+                         tight_limits=True)
+  reg = jnp.float32(1e-2)
+  ks_ref, km_ref, dv_ref, ok_ref = ilqg_lib.backward_pass(
+      *prob, reg, iters, ilqg_lib.REG_CONTROL)
+  kern = riccati_lane.build_backward_kernel(
+      ndx, nu, T, iters, ilqg_lib.REG_CONTROL, interpret=True)
+  ks, km, dv, ok = kern(*prob, reg)
+  np.testing.assert_allclose(np.asarray(ks), np.asarray(ks_ref),
+                             atol=2e-4, rtol=1e-3)
+  np.testing.assert_allclose(np.asarray(km), np.asarray(km_ref),
+                             atol=2e-4, rtol=1e-3)
+  np.testing.assert_allclose(float(dv[0]), float(dv_ref[0]),
+                             atol=2e-4, rtol=1e-3)
+  assert bool(ok) == bool(ok_ref)
+
+
 def test_riccati_kernel_clamping_fires():
   """With tight limits some k entries must sit exactly on the bounds
   and the corresponding K rows must be zero (backward_pass.cc:158-217
