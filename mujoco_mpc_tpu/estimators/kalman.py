@@ -47,6 +47,15 @@ class Kalman(base.Estimator):
     self._template = d0
     self._measure = jax.jit(self._measure_impl)
     self._predict = jax.jit(self._predict_impl)
+    # fused measurement+prediction: ONE program per filter step, no
+    # host round-trip between the halves (serving path; the split
+    # _measure/_predict remain for the reference's split-update API,
+    # kalman.h:51-66)
+    def _step_impl(x, p, q_noise, r_noise, ctrl, y):
+      x1, p1, innov = self._measure_impl(x, p, r_noise, ctrl, y)
+      x2, p2 = self._predict_impl(x1, p1, q_noise, ctrl)
+      return x2, p2, innov
+    self._step = jax.jit(_step_impl)
     self.reset()
 
   def reset(self):
@@ -104,17 +113,19 @@ class Kalman(base.Estimator):
     y = jnp.asarray(sensor, self.dtype)
     self.x, self.p, innov = self._measure(
         self.x, self.p, self.r_noise, ctrl, y)
-    return np.asarray(innov)
+    return innov  # lazy device array — sync only if the caller reads it
 
   def update_prediction(self, ctrl):
     ctrl = jnp.asarray(ctrl, self.dtype)
     self.x, self.p = self._predict(self.x, self.p, self.q_noise, ctrl)
 
   def update(self, ctrl, sensor):
-    self.update_measurement(ctrl, sensor)
-    self.update_prediction(ctrl)
+    ctrl = jnp.asarray(ctrl, self.dtype)
+    y = jnp.asarray(sensor, self.dtype)
+    self.x, self.p, _ = self._step(
+        self.x, self.p, self.q_noise, self.r_noise, ctrl, y)
     self.time += float(self.m.opt.timestep)
-    return self.state
+    return self.x  # lazy; .state gives the synced numpy view
 
   @property
   def state(self):

@@ -113,7 +113,7 @@ class Unscented(base.Estimator):
     self.x, self.p, _ = self._update(
         self.x, self.p, self.q_noise, self.r_noise, ctrl, y)
     self.time += float(self.m.opt.timestep)
-    return self.state
+    return self.x  # lazy; .state gives the synced numpy view
 
   @property
   def state(self):
