@@ -314,14 +314,10 @@ def make_server(port: int = 0, max_workers: int = 4):
 
 
 def _apply_platform_override():
-  """MJPC_TPU_PLATFORM=cpu|tpu: select the jax backend for a spawned
-  server (env JAX_PLATFORMS is consumed before our code runs in this
-  environment, so use jax.config)."""
-  import os
-  plat = os.environ.get("MJPC_TPU_PLATFORM")
-  if plat:
-    import jax
-    jax.config.update("jax_platforms", plat)
+  """Backend + persistent-compile-cache setup for a spawned
+  server process (grpc/serverenv.py)."""
+  from mujoco_mpc_tpu.grpc import serverenv
+  serverenv.apply()
 
 
 def main():
