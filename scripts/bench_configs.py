@@ -119,6 +119,57 @@ def bench_ilqg(name, horizon):
       "solves_per_s": round(1.0 / t, 1)}), flush=True)
 
 
+def bench_estimators(name):
+  """EKF/UKF per-update latency (the real-time estimator budget: the
+  reference runs the estimator once per physics step, app.cc:151-206).
+  update() is lazy, so steady_state measures true pipelined latency."""
+  from mujoco_mpc_tpu.estimators import kalman, unscented
+  task = registry.get_task(name)
+  ctrl = jnp.zeros((int(task.model.nu),))
+  for cls, label in ((kalman.Kalman, "EKF"), (unscented.Unscented, "UKF")):
+    est = cls(task)
+    sensor = jnp.zeros((est.ns,))
+    t = steady_state(lambda: est.update(ctrl, sensor), iters=20)
+    print(json.dumps({
+        "config": name, "estimator": label,
+        "ms_per_update": round(1e3 * t, 3),
+        "updates_per_s": round(1.0 / t, 1)}), flush=True)
+
+
+def bench_direct(name, horizon):
+  """Direct batch smoother: one full Optimize (GN iterations to
+  convergence) on a noisy trajectory of reference scale
+  (direct_optimize_test.cc pattern; docs/DIRECT.md)."""
+  import numpy as np
+  from mujoco_mpc_tpu.direct.optimizer import Direct
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.physics import sensors as sensors_lib
+  task = registry.get_task(name)
+  m = task.model
+  rng = np.random.default_rng(0)
+  sensor_fn = sensors_lib.make_sensor_fn(task.mjm)
+  step = jax.jit(lambda d: F.step(m, d))
+  fwd = jax.jit(lambda d: F.forward(m, d))
+  d = task.make_data()
+  direct = Direct(task, horizon)
+  for t in range(horizon):
+    df = fwd(d)
+    direct.set_data(
+        t,
+        qpos=np.asarray(d.qpos) + 0.03 * rng.standard_normal(int(m.nq)),
+        sensor=np.asarray(sensor_fn(m, df))
+        + 0.002 * rng.standard_normal(direct.ns),
+        force=np.asarray(df.qfrc_actuator))
+    d = step(d)
+  direct.set_weights(sensor=1e4, force=1.0)
+  t_s = steady_state(lambda: direct.optimize(), iters=3)
+  print(json.dumps({
+      "config": name, "optimizer": "direct", "horizon": horizon,
+      "ms_per_solve": round(1e3 * t_s, 2),
+      "solves_per_s": round(1.0 / t_s, 2),
+      "gn_iterations": direct.iterations}), flush=True)
+
+
 def main():
   bench_sampling("Cartpole", k=128, horizon=100)          # config 1
   bench_ilqg("Swimmer", horizon=40)                       # config 2a
@@ -130,6 +181,9 @@ def main():
   bench_sampling("Cube Solving", k=512, horizon=16)
   # cross-entropy on the shared lane scorer (flagship shape)
   bench_cem("Quadruped Flat", k=4096, horizon=36)
+  # auxiliary real-time budgets: estimators + Direct smoother
+  bench_estimators("Quadruped Flat")
+  bench_direct("Cartpole", horizon=32)
 
 
 if __name__ == "__main__":
