@@ -12,6 +12,7 @@ Mirrors physics/math.py semantics (same conventions) on this layout.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 Vec3 = tuple  # (x, y, z) of (1, K) arrays
@@ -164,3 +165,28 @@ def atan2_nonneg(s, c):
           0.0964200441 + x2 * (-0.0559098861 + x2 * (
               0.0218612288 + x2 * -0.0040540580)))))))
   return jnp.where(s <= c, at, jnp.pi / 2 - at)
+
+
+def quat_sub_tangent(qa, qb):
+  """3D tangent difference of component-form quaternions: the velocity v
+  with qb * exp(v/2) = qa — mju_subQuat semantics, matching
+  physics.math.quat_sub. qa/qb are 4-element lists of lane rows or
+  scalars (broadcast-compatible). Returns [vx, vy, vz] rows.
+
+  Inverse trig via atan2_nonneg (no lowering for arctan on Pallas TPU);
+  after the shortest-arc sign fix both atan2 arguments are >= 0.
+  """
+  aw, ax, ay, az = qa
+  bw, bx, by, bz = qb
+  # qd = conj(qb) * qa (Hamilton product, physics/math.py:26-43)
+  w = bw * aw + bx * ax + by * ay + bz * az
+  x = bw * ax - bx * aw - by * az + bz * ay
+  y = bw * ay + bx * az - by * aw - bz * ax
+  z = bw * az - bx * ay + by * ax - bz * aw
+  inv = jax.lax.rsqrt(jnp.maximum(w * w + x * x + y * y + z * z, 1e-24))
+  sign = jnp.where(w < 0, -1.0, 1.0) * inv
+  w, x, y, z = w * sign, x * sign, y * sign, z * sign
+  sin_half = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 0.0))
+  angle = 2.0 * atan2_nonneg(sin_half, w)
+  s = angle / jnp.maximum(sin_half, 1e-12)
+  return [x * s, y * s, z * s]

@@ -260,26 +260,51 @@ def _make_lane_feedback(m: Model, lane_spec, horizon: int,
   import numpy as np
   from mujoco_mpc_tpu.ops import step_lane
 
+  from mujoco_mpc_tpu.ops import lanemath as lm
+  from mujoco_mpc_tpu.physics.model import BALL, FREE
+
   nq, nv, nu = int(m.nq), int(m.nv), int(m.nu)
   nx = deriv.ndx(m)
-  assert nq == nv and int(m.na) == 0
+  assert int(m.na) == 0
   naux0 = max(int(lane_spec["naux"]), 1)
   nr = int(lane_spec["dim"])
   stride = 2 * nu + nu * nx + nq + nv
   g = jax.device_get
   lo = np.asarray(g(m.actuator_ctrlrange))[:, 0]
   hi = np.asarray(g(m.actuator_ctrlrange))[:, 1]
+  jnt_type = np.asarray(g(m.jnt_type)).tolist()
+  jnt_qadr = np.asarray(g(m.jnt_qposadr)).tolist()
+  jnt_dadr = np.asarray(g(m.jnt_dofadr)).tolist()
 
   def ctrl_fn(t, qpos, qvel, vals, aux_dyn, scal):
     # per-step nominal/gain values are SHARED across candidates: read
     # them as true scalars from the SMEM table (one broadcast fma per
     # gain entry); dx is hoisted out of the actuator loop — nx vector
-    # subs + nu*nx fmas per step instead of nu*(2nx) row loads+fmas
+    # subs + nu*nx fmas per step instead of nu*(2nx) row loads+fmas.
+    # Quaternion joints use the in-kernel tangent log map
+    # (mj_differentiatePos semantics, lanemath.quat_sub_tangent).
     alpha, scale = vals(0), vals(1)
     base = t * stride
     xb = base + 2 * nu + nu * nx
-    dx = ([qpos[i] - scal(xb + i) for i in range(nv)]
-          + [qvel[i] - scal(xb + nq + i) for i in range(nv)])
+    dx = [None] * nv
+    for jt, qa, da in zip(jnt_type, jnt_qadr, jnt_dadr):
+      if jt == FREE:
+        for i in range(3):
+          dx[da + i] = qpos[qa + i] - scal(xb + qa + i)
+        rot = lm.quat_sub_tangent(
+            [qpos[qa + 3 + i] for i in range(4)],
+            [scal(xb + qa + 3 + i) for i in range(4)])
+        for i in range(3):
+          dx[da + 3 + i] = rot[i]
+      elif jt == BALL:
+        rot = lm.quat_sub_tangent(
+            [qpos[qa + i] for i in range(4)],
+            [scal(xb + qa + i) for i in range(4)])
+        for i in range(3):
+          dx[da + i] = rot[i]
+      else:  # hinge / slide: plain subtraction
+        dx[da] = qpos[qa] - scal(xb + qa)
+    dx = dx + [qvel[i] - scal(xb + nq + i) for i in range(nv)]
     us = []
     for u in range(nu):
       c = scal(base + u) + alpha * scal(base + nu + u)
@@ -333,8 +358,11 @@ def _make_lane_feedback(m: Model, lane_spec, horizon: int,
     totals = jnp.where(ok, jnp.sum(costs, axis=1) / horizon,
                        rollout_lib.MAX_RETURN_VALUE)
     # executed actions, recomputed from the recorded states (the kernel
-    # records states + residuals; u is a cheap einsum outside)
-    dx = states - pol_states[None, :, :]
+    # records states + residuals; u is a cheap einsum outside) — tangent
+    # state_diff, NOT subtraction (quat joints)
+    dx = jax.vmap(jax.vmap(
+        lambda s, sn: deriv.state_diff(m, s, sn), in_axes=(0, 0)),
+        in_axes=(0, None))(states, pol_states.astype(dtype))
     u_fb = jnp.einsum("tux,ktx->ktu", km_pad, dx)
     u_all = (u_pad[None] + alphas[:, None, None] * k_pad[None]
              + scales[:, None, None] * u_fb)
@@ -578,9 +606,10 @@ class ILQGPlanner:
                                  dtype)
 
   def _lane_spec(self, task, lane):
-    """Lane-kernel line-search rollouts: auto on TPU for quat-free
-    lane-eligible tasks (lane=True forces interpret mode off-TPU for
-    tests; lane=False disables)."""
+    """Lane-kernel line-search rollouts: auto on TPU for lane-eligible
+    tasks — quaternion joints ride the in-kernel tangent log map
+    (lane=True forces interpret mode off-TPU for tests; lane=False
+    disables)."""
     if lane is None:
       lane = (jax.devices()[0].platform == "tpu"
               and os.environ.get("MJPC_TPU_LANE", "1") != "0")
@@ -588,8 +617,8 @@ class ILQGPlanner:
       return None
     from mujoco_mpc_tpu.ops import step_lane
     m = self.m
-    if int(m.nq) != int(m.nv) or int(m.na) != 0:
-      return None  # quat-free only: state_diff must be subtraction
+    if int(m.na) != 0:
+      return None  # activation states don't ride the lane kernel
     if not step_lane.supports(
         m, ground_only=True,
         body_pairs=bool(getattr(task, "plan_body_pairs", False))):

@@ -918,3 +918,35 @@ def test_lane_robust_particle():
     n_cand = planner.r_config.num_candidates
     top = np.sort(rets)[:n_cand]
     assert float(info["best_return"]) <= top[-1] + 1e-6
+
+
+@pytest.mark.slow
+def test_ilqg_lane_rollouts_match_pipeline_quat():
+  """Quat-model iLQG lane line searches: the in-kernel tangent log map
+  (lanemath.quat_sub_tangent) must reproduce the vmapped pipeline's
+  state_diff feedback on a free-joint task (Quadrotor, tiny shapes)."""
+  from mujoco_mpc_tpu.planners import ilqg as ilqg_lib
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task("Quadrotor")
+  cfg = ilqg_lib.make_config(task).replace(
+      horizon=4, num_alphas=3, num_fb_scales=2)
+  d0 = F.forward(task.model, task.make_data())
+  p_ref = ilqg_lib.ILQGPlanner(task, cfg, lane=False)
+  p_lane = ilqg_lib.ILQGPlanner(task, cfg, lane=True)
+  assert p_lane._lane_spec(task, True) is not None, \
+      "Quadrotor must be lane-eligible for this test"
+  key = jax.random.PRNGKey(0)
+  for it in range(2):
+    ia = p_ref.optimize(key, d0)
+    ib = p_lane.optimize(key, d0)
+    np.testing.assert_allclose(float(ia["nominal_return"]),
+                               float(ib["nominal_return"]),
+                               rtol=1e-3, err_msg=f"nominal it={it}")
+    np.testing.assert_allclose(float(ia["best_return"]),
+                               float(ib["best_return"]),
+                               rtol=1e-3, err_msg=f"best it={it}")
+  np.testing.assert_allclose(np.asarray(p_lane.policy.actions),
+                             np.asarray(p_ref.policy.actions),
+                             atol=1e-3)
