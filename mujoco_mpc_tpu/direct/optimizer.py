@@ -140,8 +140,11 @@ class Direct:
     self.iterations = 0
 
     self.banded = (horizon >= 24) if banded is None else banded
-    self._solve = jax.jit(self._make_solve_banded() if self.banded
-                          else self._make_solve())
+    # unjitted core kept for callers that fuse the solve into a larger
+    # program (Batch estimator's single-round-trip update)
+    self._solve_fn = (self._make_solve_banded() if self.banded
+                      else self._make_solve())
+    self._solve = jax.jit(self._solve_fn)
 
   # -- core ------------------------------------------------------------------
 
@@ -580,7 +583,10 @@ class Direct:
     else:
       assert self.prior_band is None, \
           "matrix prior (prior_band) requires the banded path"
-    qs, theta, cost, cost0, it, status = self._solve(*args)
+    # ONE host transfer for all outputs (sequential np.asarray/float
+    # reads each pay a full device round trip on remote backends)
+    qs, theta, cost, cost0, it, status = jax.device_get(
+        self._solve(*args))
     self.qpos_optimized = np.asarray(qs)
     self.parameters = np.asarray(theta)
     self.cost = float(cost)

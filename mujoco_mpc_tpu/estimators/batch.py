@@ -89,6 +89,37 @@ class Batch(base.Estimator):
 
     self._make_direct()
     self._fwd = jax.jit(lambda d: F.forward(self.m, d))
+    # one jitted program for the per-update prep (predict + actuation
+    # force) and one for the FD velocity — the eager qpos_add/qpos_diff
+    # this replaces cost ~40 ms PER OP through the TPU tunnel
+    self._template_d = task.make_data()
+    h = float(self.m.opt.timestep)
+
+    def _prep(q_prev, qvel, ctrl):
+      q_pred = deriv.qpos_add(self.m, q_prev, qvel * h)
+      d = self._template_d.replace(qpos=q_pred, qvel=qvel, ctrl=ctrl)
+      d = F.forward(self.m, d)
+      return q_pred, d.qfrc_actuator
+
+    self._prep = jax.jit(_prep)
+    self._fd_vel = jax.jit(
+        lambda q1, q0: deriv.qpos_diff(self.m, q1, q0) / h)
+
+    def _step(q_hist, qvel, ctrl, sensor, sensor_hist, force_hist,
+              theta0, w_s, w_f, ld, l1, l2):
+      """Whole Batch update as ONE program: predict, shift window,
+      re-optimize, FD velocity — a single host round trip per filter
+      step (batch.cc Update semantics)."""
+      q_pred, force = _prep(q_hist[-1], qvel, ctrl)
+      q_win = jnp.concatenate([q_hist[1:], q_pred[None]], 0)
+      s_win = jnp.concatenate([sensor_hist[1:], sensor[None]], 0)
+      f_win = jnp.concatenate([force_hist[1:], force[None]], 0)
+      qs, theta, cost, cost0, it, status = self.direct._solve_fn(
+          q_win, theta0, s_win, f_win, w_s, w_f, q_win, ld, l1, l2)
+      qvel_new = deriv.qpos_diff(self.m, qs[-1], qs[-2]) / h
+      return qs, s_win, f_win, qvel_new, cost, it, status
+
+    self._step = jax.jit(_step)
     self.reset()
 
   def _make_direct(self):
@@ -178,43 +209,41 @@ class Batch(base.Estimator):
     self.direct.prior_band = _dense_to_band(w, t_len, nv)
 
   def update(self, ctrl, sensor):
-    """Shift window, append measurement, re-optimize (batch.cc Update)."""
+    """Shift window, append measurement, re-optimize (batch.cc Update).
+
+    One jitted program + one device transfer per filter step."""
     m = self.m
     h = float(m.opt.timestep)
+    dt = self.dtype
+    ld, l1, l2 = self.direct._band_args()
+    qs, s_win, f_win, qvel_new, cost, it, status = jax.device_get(
+        self._step(
+            jnp.asarray(np.array(self.q_history), dt),
+            jnp.asarray(self.qvel_est, dt),
+            jnp.asarray(ctrl, dt),
+            jnp.asarray(sensor, dt),
+            jnp.asarray(np.array(self.sensor_history), dt),
+            jnp.asarray(np.array(self.force_history), dt),
+            jnp.asarray(self.direct.param_initial, dt),
+            jnp.asarray(self.direct.weight_sensor, dt),
+            jnp.asarray(self.direct.weight_force, dt),
+            ld, l1, l2))
 
-    # propagate newest configuration estimate one step (prediction)
-    q_prev = self.q_history[-1]
-    q_pred = np.asarray(
-        deriv.qpos_add(m, jnp.asarray(q_prev, self.dtype),
-                       jnp.asarray(self.qvel_est * h, self.dtype)))
-
-    # applied force from actuation at the predicted state
-    d = self.task.make_data().replace(
-        qpos=jnp.asarray(q_pred, self.dtype),
-        qvel=jnp.asarray(self.qvel_est, self.dtype),
-        ctrl=jnp.asarray(ctrl, self.dtype))
-    d = self._fwd(d)
-    force = np.asarray(d.qfrc_actuator)
-
-    self.q_history.append(q_pred)
-    self.sensor_history.append(np.asarray(sensor))
-    self.force_history.append(force)
-
-    # re-optimize the window
+    # mirror the optimized window into the host-side history and the
+    # Direct bookkeeping (hessian_band / service queries read these)
     for t in range(self.cfg_len):
-      self.direct.set_data(
-          t, qpos=self.q_history[t], sensor=self.sensor_history[t],
-          force=self.force_history[t])
-    self.direct._prior_qpos = jnp.asarray(
-        np.array(self.q_history), self.dtype)
-    qs = self.direct.optimize()
-
-    # write back smoothed configurations; state = newest config + FD vel
-    for t in range(self.cfg_len):
-      self.q_history[t] = qs[t]
-    self.qvel_est = np.asarray(
-        deriv.qpos_diff(m, jnp.asarray(qs[-1], self.dtype),
-                        jnp.asarray(qs[-2], self.dtype))) / h
+      self.q_history[t] = np.asarray(qs[t])
+      self.sensor_history[t] = np.asarray(s_win[t])
+      self.force_history[t] = np.asarray(f_win[t])
+    self.direct.qpos_initial = np.array(self.q_history)
+    self.direct.sensor_measured = np.array(self.sensor_history)
+    self.direct.force_measured = np.array(self.force_history)
+    self.direct._prior_qpos = jnp.asarray(np.array(self.q_history), dt)
+    self.direct.qpos_optimized = np.asarray(qs)
+    self.direct.parameters = np.asarray(self.direct.param_initial)
+    self.direct.cost = float(cost)
+    self.direct.iterations = int(it)
+    self.qvel_est = np.asarray(qvel_new)
     self.time += h
 
     if self.recursive_prior_update:

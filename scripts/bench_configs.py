@@ -136,6 +136,24 @@ def bench_estimators(name):
         "updates_per_s": round(1.0 / t, 1)}), flush=True)
 
 
+def bench_batch(name):
+  """Batch fixed-lag filter per-update latency (prediction + window
+  re-optimize as ONE program, batch.cc Update semantics)."""
+  import numpy as np
+  from mujoco_mpc_tpu.estimators import batch as batch_lib
+  task = registry.get_task(name)
+  est = batch_lib.Batch(task)
+  ctrl = np.zeros(int(task.model.nu))
+  sensor = np.zeros(est.direct.ns)
+  for _ in range(est.cfg_len + 2):
+    est.update(ctrl, sensor)
+  t = steady_state(lambda: est.update(ctrl, sensor), iters=10)
+  print(json.dumps({
+      "config": name, "estimator": "Batch", "cfg_len": est.cfg_len,
+      "ms_per_update": round(1e3 * t, 2),
+      "updates_per_s": round(1.0 / t, 1)}), flush=True)
+
+
 def bench_direct(name, horizon):
   """Direct batch smoother: one full Optimize (GN iterations to
   convergence) on a noisy trajectory of reference scale
@@ -183,6 +201,7 @@ def main():
   bench_cem("Quadruped Flat", k=4096, horizon=36)
   # auxiliary real-time budgets: estimators + Direct smoother
   bench_estimators("Quadruped Flat")
+  bench_batch("Cartpole")
   bench_direct("Cartpole", horizon=32)
 
 
