@@ -363,6 +363,10 @@ class Agent:
     return dict(zip(cs.term_names, np.asarray(cs.weights)))
 
   def get_cost_term_values(self, weighted: bool = True) -> dict:
-    r = self.task.residual(self.m, self.data, self.task.residual_params)
+    d = self.data
+    if d.geom_xpos is None:  # residuals need FK (fresh data after Init)
+      d = self._forward(d)
+      self.data = d
+    r = self.task.residual(self.m, d, self.task.residual_params)
     terms = self.task.cost_spec.cost_terms(r, weighted=weighted)
     return dict(zip(self.task.cost_spec.term_names, np.asarray(terms)))

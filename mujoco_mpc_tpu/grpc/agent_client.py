@@ -64,9 +64,12 @@ class Agent:
       server_py = os.path.join(os.path.dirname(__file__),
                                "agent_service.py")
       env = dict(os.environ)
-      env.setdefault("PYTHONPATH",
-                     os.path.dirname(os.path.dirname(
-                         os.path.dirname(__file__))))
+      repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+      # APPEND to any existing PYTHONPATH (e.g. a site-customization
+      # path) — overwriting it breaks the parent interpreter's plugins,
+      # omitting the repo breaks the child's imports
+      env["PYTHONPATH"] = (repo if not env.get("PYTHONPATH")
+                           else env["PYTHONPATH"] + os.pathsep + repo)
       self._proc = subprocess.Popen(
           [sys.executable, server_py, "--mjpc_port", str(port)], env=env)
       atexit.register(self.close)
@@ -191,6 +194,47 @@ class Agent:
         "actions": np.array(resp.actions).reshape(steps, -1),
         "times": np.array(resp.times),
     }
+
+  def init(self, task_id: str, model=None, real_time_speed: float = 1.0):
+    """Re-initialize the server with a task and optional model override
+    (reference agent.py init: MjModel -> mjb bytes)."""
+    req = agent_pb2.InitRequest(task_id=task_id,
+                                real_time_speed=real_time_speed)
+    if model is not None:
+      if isinstance(model, bytes):
+        req.model.mjb = model
+      elif isinstance(model, str):
+        req.model.xml = model
+      else:  # a mujoco.MjModel
+        import mujoco
+        buf = np.empty(mujoco.mj_sizeModel(model), dtype=np.uint8)
+        mujoco.mj_saveModel(model, None, buf)
+        req.model.mjb = buf.tobytes()
+    self.stub.Init(req, wait_for_ready=True, timeout=300)
+
+  def set_mocap(self, mocap_map):
+    """Named per-body mocap poses via SetAnything (reference
+    agent.py set_mocap:385-392). mocap_map: name -> Pose."""
+    req = agent_pb2.SetAnythingRequest()
+    for name, pose in mocap_map.items():
+      if pose.pos is not None:
+        req.mocap[name].pos.extend(np.asarray(pose.pos).ravel().tolist())
+      if pose.quat is not None:
+        req.mocap[name].quat.extend(
+            np.asarray(pose.quat).ravel().tolist())
+    self.stub.SetAnything(req)
+
+  def set_parameters(self, parameters):
+    """Apply an mjpc_parameters.MjpcParameters bundle (reference
+    agent.py set_parameters:359-366)."""
+    if parameters.mode is not None:
+      self.set_mode(parameters.mode)
+    if parameters.task_parameters:
+      self.set_task_parameters(parameters.task_parameters)
+    if parameters.cost_weights:
+      self.set_cost_weights(parameters.cost_weights)
+    if parameters.mocap:
+      self.set_mocap(parameters.mocap)
 
   def __enter__(self):
     return self

@@ -262,7 +262,39 @@ class AgentServicer:
           context)
     if request.mode:
       self.SetMode(agent_pb2.SetModeRequest(mode=request.mode), context)
+    if request.mocap:
+      self._set_mocap(request.mocap)
     return agent_pb2.SetAnythingResponse()
+
+  def _set_mocap(self, mocap_map):
+    """Named per-body mocap poses (reference grpc_agent_util.cc
+    SetMocap:442-478): validate every name/size BEFORE applying."""
+    import jax.numpy as jnp
+    import mujoco
+    agent = self._require()
+    mjm = agent.task.mjm
+    ids = {}
+    for name, pose in mocap_map.items():
+      body = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_BODY, name)
+      assert body >= 0, f"Body '{name}' not found."
+      mocap_id = int(mjm.body_mocapid[body])
+      assert mocap_id >= 0, f"Body '{name}' is not a mocap body."
+      assert len(pose.pos) in (0, 3), \
+          f"Mocap '{name}' has invalid pose size {len(pose.pos)}."
+      assert len(pose.quat) in (0, 4), \
+          f"Mocap '{name}' has invalid quat size {len(pose.quat)}."
+      ids[name] = mocap_id
+    d = agent.data
+    dtype = d.qpos.dtype
+    mpos = np.asarray(d.mocap_pos, np.float64).copy()
+    mquat = np.asarray(d.mocap_quat, np.float64).copy()
+    for name, pose in mocap_map.items():
+      if len(pose.pos) == 3:
+        mpos[ids[name]] = np.array(pose.pos)
+      if len(pose.quat) == 4:
+        mquat[ids[name]] = np.array(pose.quat)
+    agent.data = d.replace(mocap_pos=jnp.asarray(mpos, dtype),
+                           mocap_quat=jnp.asarray(mquat, dtype))
 
 
 _RPCS = [

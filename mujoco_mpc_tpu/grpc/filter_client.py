@@ -43,8 +43,9 @@ class Filter:
       server_py = os.path.join(os.path.dirname(__file__),
                                "filter_service.py")
       env = dict(os.environ)
-      env.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(
-          os.path.dirname(__file__))))
+      repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+      env["PYTHONPATH"] = (repo if not env.get("PYTHONPATH")
+                           else env["PYTHONPATH"] + os.pathsep + repo)
       self._proc = subprocess.Popen(
           [sys.executable, server_py, "--mjpc_port", str(port)], env=env)
       atexit.register(self.close)

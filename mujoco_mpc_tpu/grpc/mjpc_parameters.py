@@ -41,11 +41,6 @@ def apply(agent, params: MjpcParameters):
   if params.cost_weights:
     agent.set_cost_weights(params.cost_weights)
   if params.mocap:
-    # mocap rides SetState as full arrays (agent.proto State); callers
-    # with per-body names need a client exposing set_mocap
-    if not hasattr(agent, "set_mocap"):
-      raise NotImplementedError(
-          "per-body mocap requires agent.set_mocap; use "
-          "agent.set_state(mocap_pos=..., mocap_quat=...) for full arrays")
-    for name, pose in params.mocap.items():
-      agent.set_mocap(name, pos=pose.pos, quat=pose.quat)
+    # named per-body poses ride SetAnything's mocap map (the service
+    # resolves names via body_mocapid, grpc_agent_util.cc SetMocap)
+    agent.set_mocap(params.mocap)

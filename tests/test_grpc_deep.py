@@ -278,3 +278,52 @@ def test_direct_bad_index_rejected(direct_call):
   with pytest.raises(grpc.RpcError):
     call("Data", direct_pb2.DataRequest(index=99),
          direct_pb2.DataResponse)
+
+
+def test_set_anything_named_mocap(agent_stub):
+  """SetAnything's named per-body mocap map (reference
+  grpc_agent_util.cc SetMocap:442-478): resolves body->mocapid, writes
+  pose, rejects unknown/non-mocap bodies and bad sizes."""
+  stub = agent_stub
+  stub.Init(agent_pb2.InitRequest(task_id="Quadruped Flat"))
+  req = agent_pb2.SetAnythingRequest()
+  req.mocap["goal"].pos.extend([1.5, -0.5, 0.3])
+  req.mocap["goal"].quat.extend([0.0, 0.0, 0.0, 1.0])
+  stub.SetAnything(req)
+  got = stub.GetState(agent_pb2.GetStateRequest()).state
+  np.testing.assert_allclose(np.array(got.mocap_pos)[:3],
+                             [1.5, -0.5, 0.3], atol=1e-6)
+  np.testing.assert_allclose(np.array(got.mocap_quat)[:4],
+                             [0.0, 0.0, 0.0, 1.0], atol=1e-6)
+  # unknown body name -> error, nothing applied
+  bad = agent_pb2.SetAnythingRequest()
+  bad.mocap["nonexistent"].pos.extend([0, 0, 0])
+  with pytest.raises(grpc.RpcError):
+    stub.SetAnything(bad)
+  # non-mocap body -> error
+  bad2 = agent_pb2.SetAnythingRequest()
+  bad2.mocap["trunk"].pos.extend([0, 0, 0])
+  with pytest.raises(grpc.RpcError):
+    stub.SetAnything(bad2)
+  stub.Init(agent_pb2.InitRequest(task_id="Cartpole"))
+
+
+def test_client_set_parameters_bundle():
+  """Agent client applies an MjpcParameters bundle (mode + params +
+  weights + named mocap) like the reference agent.py set_parameters."""
+  from mujoco_mpc_tpu.grpc import mjpc_parameters
+  from mujoco_mpc_tpu.grpc.agent_client import Agent as AgentClient
+  import os
+  os.environ.setdefault("MJPC_TPU_PLATFORM", "cpu")
+  with AgentClient(task_id="Quadruped Flat") as agent:
+    params = mjpc_parameters.MjpcParameters(
+        mode="Walk",
+        cost_weights={"Upright": 0.55},
+        mocap={"goal": mjpc_parameters.Pose(
+            pos=np.array([2.5, 0.0, 0.3]), quat=None)})
+    agent.set_parameters(params)
+    assert agent.get_mode() == "Walk"
+    assert abs(agent.get_cost_weights()["Upright"] - 0.55) < 1e-6
+    st = agent.get_state()
+    np.testing.assert_allclose(np.array(st.mocap_pos)[:3],
+                               [2.5, 0.0, 0.3], atol=1e-6)
