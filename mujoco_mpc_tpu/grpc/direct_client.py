@@ -122,5 +122,50 @@ class Direct:
 
   def sensor_info(self) -> dict:
     resp = self.stub.SensorInfo(direct_pb2.SensorInfoRequest())
-    return {"num_measurements": resp.num_measurements,
+    return {"start_index": resp.start_index,
+            "num_measurements": resp.num_measurements,
             "dim_measurements": resp.dim_measurements}
+
+  def init(self, model, configuration_length: int = 3,
+           send_as: str = "xml"):
+    """Re-initialize with a mujoco.MjModel / xml string / mjb bytes
+    (reference direct.py init:100-145)."""
+    if isinstance(model, bytes):
+      msg = direct_pb2.MjModel(mjb=model)
+    elif isinstance(model, str):
+      msg = direct_pb2.MjModel(xml=model)
+    else:
+      import mujoco
+      if send_as == "mjb":
+        buf = np.empty(mujoco.mj_sizeModel(model), dtype=np.uint8)
+        mujoco.mj_saveModel(model, None, buf)
+        msg = direct_pb2.MjModel(mjb=buf.tobytes())
+      else:
+        import pathlib
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".xml") as f:
+          mujoco.mj_saveLastXML(f.name, model)
+          msg = direct_pb2.MjModel(xml=pathlib.Path(f.name).read_text())
+    self.stub.Init(direct_pb2.InitRequest(
+        model=msg, configuration_length=configuration_length),
+        timeout=300)
+
+  def measurements_from_sensordata(self, data) -> np.ndarray:
+    """Slice a raw sensordata vector down to the measured segment
+    (reference direct.py:429-436)."""
+    info = self.sensor_info()
+    i = info["start_index"]
+    return np.asarray(data)[i:i + info["dim_measurements"]]
+
+  def print_cost(self):
+    c = self.cost()
+    print("cost:")
+    print("  [total]   = ", c["total"])
+    print("  (initial  = ", c["initial"], ")")
+
+  def print_status(self):
+    s = self.status()
+    print("status:")
+    print("   smoother iterations = ", s["smoother_iterations"])
+    print("   solve status        = ", s["solve_status"])
+    print("   cost difference     = ", s["cost_difference"])

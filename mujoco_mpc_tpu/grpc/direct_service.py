@@ -27,8 +27,11 @@ class DirectServicer:
   def Init(self, request, context):
     from mujoco_mpc_tpu.direct.optimizer import Direct
     from mujoco_mpc_tpu.grpc.filter_service import _XmlTask
-    xml = request.model.xml if request.HasField("model") else None
-    self.task = _XmlTask(xml=xml)
+    xml = mjb = None
+    if request.HasField("model"):
+      xml = request.model.xml or None
+      mjb = request.model.mjb or None
+    self.task = _XmlTask(xml=xml, mjb=mjb)
     horizon = request.configuration_length or 3
     self.direct = Direct(self.task, horizon)
     return direct_pb2.InitResponse()

@@ -61,6 +61,33 @@ class Filter:
       self._proc.terminate()
       self._proc = None
 
+  def init(self, model, send_as: str = "xml"):
+    """Re-initialize with a mujoco.MjModel / xml string / mjb bytes
+    (reference filter.py init:98-140)."""
+    if isinstance(model, bytes):
+      msg = filter_pb2.MjModel(mjb=model)
+    elif isinstance(model, str):
+      msg = filter_pb2.MjModel(xml=model)
+    else:
+      import mujoco
+      if send_as == "mjb":
+        buf = np.empty(mujoco.mj_sizeModel(model), dtype=np.uint8)
+        mujoco.mj_saveModel(model, None, buf)
+        msg = filter_pb2.MjModel(mjb=buf.tobytes())
+      else:
+        import pathlib
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".xml") as f:
+          mujoco.mj_saveLastXML(f.name, model)
+          msg = filter_pb2.MjModel(
+              xml=pathlib.Path(f.name).read_text())
+    self.stub.Init(filter_pb2.InitRequest(model=msg), timeout=300)
+
+  def available_filters(self):
+    """Estimator registry (reference filter.py available_filters)."""
+    return {"ground truth", "extended Kalman filter",
+            "unscented Kalman filter", "batch filter"}
+
   def reset(self):
     self.stub.Reset(filter_pb2.ResetRequest())
 

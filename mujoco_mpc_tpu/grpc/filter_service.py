@@ -30,8 +30,18 @@ class _XmlTask:
     from mujoco_mpc_tpu.physics import model as model_lib
     if xml:
       self.mjm = mujoco.MjModel.from_xml_string(xml)
+    elif mjb:
+      import tempfile, os as _os
+      with tempfile.NamedTemporaryFile(suffix=".mjb",
+                                       delete=False) as f:
+        f.write(mjb)
+        path = f.name
+      try:
+        self.mjm = mujoco.MjModel.from_binary_path(path)
+      finally:
+        _os.unlink(path)
     else:
-      raise ValueError("model xml required")
+      raise ValueError("model xml or mjb required")
     self.model = model_lib.put_model(self.mjm)
     self.cost_spec = None
     self.residual_params = jnp.zeros(0)
@@ -63,8 +73,11 @@ class FilterServicer:
     self.estimator = None
 
   def Init(self, request, context):
-    xml = request.model.xml if request.HasField("model") else None
-    task = _XmlTask(xml=xml)
+    xml = mjb = None
+    if request.HasField("model"):
+      xml = request.model.xml or None
+      mjb = request.model.mjb or None
+    task = _XmlTask(xml=xml, mjb=mjb)
     est_id = int(task.config("estimator", 1))
     if est_id == 0:
       from mujoco_mpc_tpu.estimators.base import GroundTruth

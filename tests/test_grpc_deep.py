@@ -327,3 +327,37 @@ def test_client_set_parameters_bundle():
     st = agent.get_state()
     np.testing.assert_allclose(np.array(st.mocap_pos)[:3],
                                [2.5, 0.0, 0.3], atol=1e-6)
+
+
+def test_filter_direct_init_from_mjb():
+  """Filter/Direct Init(model=MjModel(mjb=...)) loads compiled binaries
+  (reference filter.py/direct.py init with send_as='mjb')."""
+  import mujoco
+  import tempfile, os as _os
+  mjm = mujoco.MjModel.from_xml_string(_PEND_XML)
+  with tempfile.NamedTemporaryFile(suffix=".mjb", delete=False) as f:
+    mujoco.mj_saveModel(mjm, f.name)
+    mjb = open(f.name, "rb").read()
+  _os.unlink(f.name)
+
+  server, _, port = make_filter()
+  server.start()
+  call = _caller(port, "filter.StateEstimation")
+  call("Init", filter_pb2.InitRequest(model=filter_pb2.MjModel(mjb=mjb)),
+       filter_pb2.InitResponse)
+  call("Update", filter_pb2.UpdateRequest(ctrl=[], sensor=[0.1, 0.0]),
+       filter_pb2.UpdateResponse)
+  st = call("State", filter_pb2.StateRequest(), filter_pb2.StateResponse)
+  assert len(st.state.state) == 2
+  server.stop(0)
+
+  server, _, port = make_direct()
+  server.start()
+  call = _caller(port, "direct.Direct")
+  call("Init", direct_pb2.InitRequest(
+      model=direct_pb2.MjModel(mjb=mjb), configuration_length=4),
+      direct_pb2.InitResponse)
+  info = call("SensorInfo", direct_pb2.SensorInfoRequest(),
+              direct_pb2.SensorInfoResponse)
+  assert info.dim_measurements == 2
+  server.stop(0)
