@@ -57,12 +57,16 @@ class Agent:
 
   def __init__(self, task_id: str = "Cartpole",
                server_addr: Optional[str] = None,
-               real_time_speed: float = 1.0):
+               real_time_speed: float = 1.0,
+               ui_server: bool = False):
+    """ui_server=True spawns the live-loop UiAgentService (reference
+    ui_agent_server) instead of the synchronous AgentService."""
     self._proc = None
     if server_addr is None:
       port = _find_free_port()
-      server_py = os.path.join(os.path.dirname(__file__),
-                               "agent_service.py")
+      server_py = os.path.join(
+          os.path.dirname(__file__),
+          "ui_agent_service.py" if ui_server else "agent_service.py")
       env = dict(os.environ)
       repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
       # APPEND to any existing PYTHONPATH (e.g. a site-customization

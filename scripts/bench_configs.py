@@ -119,6 +119,38 @@ def bench_ilqg(name, horizon):
       "solves_per_s": round(1.0 / t, 1)}), flush=True)
 
 
+def bench_planner_family(name):
+  """ms/iteration for the rest of the GUI planner registry (iLQS,
+  Robust Sampling, Sample Gradient, Gradient) — planner-family
+  completeness on one task (reference GUI order, planners/include.cc).
+  Lane fast path where the planner supports it."""
+  task = registry.get_task(name)
+  d0 = task.make_data()
+  from mujoco_mpc_tpu.planners import (gradient, ilqs, robust,
+                                       sample_gradient)
+  planners = [
+      ("iLQS", lambda: ilqs.ILQSPlanner(task, lane=True)),
+      ("Robust Sampling", lambda: robust.RobustPlanner(task, lane=True)),
+      ("Sample Gradient",
+       lambda: sample_gradient.SampleGradientPlanner(task, lane=True)),
+      ("Gradient", lambda: gradient.GradientPlanner(task)),
+  ]
+  for pname, ctor in planners:
+    planner = ctor()
+    key = [jax.random.PRNGKey(0)]
+
+    def step():
+      key[0], sub = jax.random.split(key[0])
+      info = planner.optimize(sub, d0)
+      return info.get("best_return") if isinstance(info, dict) else None
+
+    t = steady_state(step, iters=5)
+    print(json.dumps({
+        "config": name, "planner": pname,
+        "ms_per_iteration": round(1e3 * t, 2),
+        "solves_per_s": round(1.0 / t, 1)}), flush=True)
+
+
 def bench_estimators(name):
   """EKF/UKF per-update latency (the real-time estimator budget: the
   reference runs the estimator once per physics step, app.cc:151-206).
@@ -199,6 +231,8 @@ def main():
   bench_sampling("Cube Solving", k=512, horizon=16)
   # cross-entropy on the shared lane scorer (flagship shape)
   bench_cem("Quadruped Flat", k=4096, horizon=36)
+  # the rest of the planner registry on one cheap task
+  bench_planner_family("Swimmer")
   # auxiliary real-time budgets: estimators + Direct smoother
   bench_estimators("Quadruped Flat")
   bench_batch("Cartpole")
