@@ -13,9 +13,14 @@ with one-sided (inequality) quadratic costs, via a damped Newton iteration
 with exact 1-D line search — a handful of dense (nv x nv) Cholesky solves,
 which batch beautifully over thousands of vmapped rollouts on the MXU.
 
-Friction uses pyramidal cones: each contact with condim c contributes
-2*(c-1) rows (or 1 normal-only row when c == 1), matching MuJoCo's
-pyramidal default.
+Friction supports both cone types at condim 1/3/4/6 (mj_makeConstraint
+semantics, oracle-matched against C MuJoCo):
+  * pyramidal: 2*(condim-1) rows per contact, Jn +/- mu_a J_a per axis
+    (tangent, torsion, rolling); condim-1 contacts degrade to pure normal
+    rows.
+  * elliptic: condim raw rows per contact; the solver treats each contact
+    as one convex cone cost with bottom/middle/top zones and
+    mu_eff = friction[0]/sqrt(impratio) (see _elliptic_terms).
 """
 
 from __future__ import annotations
@@ -114,19 +119,55 @@ def _point_jac(m: Model, d: Data, point: jax.Array,
   return jnp.swapaxes(jac * mask, 1, 2)  # (n, 3, nv)
 
 
+# minimum condim at which friction axis a (t1, t2, torsion, roll1, roll2)
+# exists (mjtConDim semantics: condim in {1, 3, 4, 6})
+_AXIS_MIN_CONDIM = np.array([3, 3, 4, 6, 6])
+
+
+def contact_layout(m: Model) -> tuple[int, int, int]:
+  """Static contact-block layout: (k, namax, rows_per_contact).
+
+  k = selected contact count; namax = friction axes built per contact
+  (max condim - 1, min 2); rows: pyramidal 2*namax, elliptic 1 + namax.
+  """
+  cp = m.collision_pairs
+  if cp is None or cp.ncon == 0:
+    return 0, 0, 0
+  k = min(m.opt.max_contact_points, cp.ncon)
+  namax = max(2, int(cp.con_condim.max()) - 1)
+  nrow = (1 + namax) if m.opt.cone == 1 else 2 * namax
+  return k, namax, nrow
+
+
 def _contact_rows(m: Model, d: Data):
-  """Pyramidal contact rows from the static candidate-contact set.
+  """Contact rows from the static candidate-contact set.
+
+  condim 1/3/4/6 with pyramidal or elliptic cones (mj_makeConstraint
+  semantics, oracle-matched against C MuJoCo 3.10 — see
+  tests/test_physics_oracle.py condim suite):
+
+  * pyramidal: 2*(condim-1) rows per contact, (axis+, axis-) per friction
+    axis, J = Jn +/- mu_a * J_a; torsion/rolling axes use the rotational
+    relative Jacobian in the contact frame. All rows of a contact share
+    diag = invw * 2*mu0^2*(1+mu0^2). condim-1 contacts become two pure
+    normal rows with diag = 2*invw each (equivalent to one frictionless
+    row with diag = invw).
+  * elliptic: condim raw rows (normal + friction axes); friction rows get
+    aref = -B*jv (no spring term) and D_i = D_N * (mu_i/mu_eff)^2 with
+    mu_eff = mu0/sqrt(impratio) — encoded via efc_fri for
+    reference_constraint.
 
   TPU optimization: only the `max_contacts` deepest candidates are kept
   (static top-k — contacts beyond the cap are virtually never active for
   robotics models where the candidate pair list is dominated by never-
   touching link pairs). Jacobians are computed only for the selected set,
-  shrinking the solver system ~4-25x.
+  shrinking the solver system ~4-25x. Rows of friction axes a contact's
+  condim doesn't reach are masked (gate > 0 => D = 0), keeping all shapes
+  static under jit/vmap with mixed-condim models.
   """
   cp = m.collision_pairs
   if cp is None or cp.ncon == 0:
     return None, None
-  max_contacts = m.opt.max_contact_points
   dtype = d.qpos.dtype
   dist, pos, n = coll.collide(m, d)
   frame = coll.make_contact_frame(n)  # (ncand, 3, 3)
@@ -134,7 +175,8 @@ def _contact_rows(m: Model, d: Data):
   incmargin = jnp.asarray(cp.con_includemargin, dtype)
   gap = dist - incmargin  # gating distance; row active iff < 0
 
-  k = min(max_contacts, cp.ncon)
+  k, namax, nrow = contact_layout(m)
+  elliptic = m.opt.cone == 1
   if k < cp.ncon:
     _, sel = jax.lax.top_k(-gap, k)
   else:
@@ -146,19 +188,23 @@ def _contact_rows(m: Model, d: Data):
   friction = jnp.asarray(cp.con_friction, dtype)[sel]
   solref = jnp.asarray(cp.con_solref, dtype)[sel]
   solimp = jnp.asarray(cp.con_solimp, dtype)[sel]
+  condim_s = jnp.asarray(cp.con_condim)[sel]  # (k,) int
 
   b1_all = jnp.asarray(m.geom_bodyid[cp.con_geom1])
   b2_all = jnp.asarray(m.geom_bodyid[cp.con_geom2])
   b1 = b1_all[sel]
   b2 = b2_all[sel]
 
+  mu0 = friction[:, 0]
+  mu_eff = mu0 / jnp.sqrt(jnp.maximum(m.opt.impratio, _MINVAL))
   contact = Contact(
       dist=dist[sel], pos=pos_s, frame=frame_s,
       includemargin=incmargin[sel], friction=friction, solref=solref,
       solimp=solimp, geom1=None, geom2=None,
       geom1_id=jnp.asarray(cp.con_geom1)[sel],
       geom2_id=jnp.asarray(cp.con_geom2)[sel],
-      body1=b1, body2=b2)
+      body1=b1, body2=b2, dim=condim_s, mu_eff=mu_eff,
+      cone=int(m.opt.cone), namax=namax)
   rootid = jnp.asarray(m.body_rootid)
   bdm = jnp.asarray(m.body_dof_mask, dtype)
   invw0 = m.body_invweight0[:, 0]
@@ -176,23 +222,62 @@ def _contact_rows(m: Model, d: Data):
   jrel = jac2 - jac1
   jc = jnp.einsum("cab,cbv->cav", frame_s, jrel)  # (k, 3, nv)
 
-  invw = invw0[b1] + invw0[b2]  # (k,)
+  # friction-axis Jacobians: tangent translations, then (condim > 3)
+  # torsion/rolling from the rotational relative Jacobian
+  if namax > 2:
+    def rjac(bid):
+      return (d.cdof[:, :3] * bdm[bid][:, None]).T  # (3, nv)
 
-  # pyramidal expansion: 4 rows per contact (condim 3), fully vectorized:
-  # rows = Jn +/- mu_i * Jt_i for i in {0, 1}
-  mu = friction[:, :2]  # (k, 2)
-  jn = jc[:, 0:1, :]                            # (k, 1, nv)
-  jt = jc[:, 1:3, :]                            # (k, 2, nv)
-  plus = jn + mu[..., None] * jt                # (k, 2, nv)
-  minus = jn - mu[..., None] * jt
-  rows_j = jnp.stack([plus, minus], axis=2).reshape(k * 4, m.nv)
-  mu_flat = jnp.stack([mu, mu], axis=2).reshape(k * 4)
-  diag = jnp.repeat(invw, 4) * 2.0 * mu_flat * mu_flat * \
-      (1.0 + mu_flat * mu_flat)
-  rows_pos = jnp.repeat(gap, 4)
-  rows_ref = jnp.repeat(solref, 4, axis=0)
-  rows_imp = jnp.repeat(solimp, 4, axis=0)
-  out = (rows_j, rows_pos, rows_ref, rows_imp, rows_pos, diag)
+    jr_rel = jax.vmap(rjac)(b2) - jax.vmap(rjac)(b1)  # (k, 3, nv)
+    jr = jnp.einsum("cab,cbv->cav", frame_s, jr_rel)  # torsion, roll1/2
+    axes_j = jnp.concatenate(
+        [jc[:, 1:3], jr[:, 0:1], jr[:, 1:3]], axis=1)[:, :namax]
+  else:
+    axes_j = jc[:, 1:3]  # (k, 2, nv)
+
+  invw = invw0[b1] + invw0[b2]  # (k,)
+  mu_ax = friction[:, :namax]   # (k, namax): [t0, t1, tors, r0, r1]
+  axis_min = jnp.asarray(_AXIS_MIN_CONDIM[:namax])
+  axis_ok = condim_s[:, None] >= axis_min[None, :]  # (k, namax)
+  is_c1 = condim_s == 1
+  axis0 = jnp.arange(namax) == 0
+
+  if not elliptic:
+    # condim-1 contacts ride axis 0 as two pure normal rows (mu = 0)
+    mu_row = jnp.where(is_c1[:, None] & axis0[None, :], 0.0, mu_ax)
+    row_ok = axis_ok | (is_c1[:, None] & axis0[None, :])
+    jn = jc[:, 0:1, :]
+    plus = jn + mu_row[..., None] * axes_j     # (k, namax, nv)
+    minus = jn - mu_row[..., None] * axes_j
+    rows_j = jnp.stack([plus, minus], axis=2).reshape(k * nrow, m.nv)
+    # all rows of a pyramidal contact share the friction[0]-based diag;
+    # impratio stiffens the pyramid rows (D scales linearly with it,
+    # oracle-verified), frictionless contacts are unaffected
+    diag_c = jnp.where(
+        is_c1, 2.0 * invw,
+        invw * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) /
+        jnp.maximum(m.opt.impratio, _MINVAL))
+    diag = jnp.repeat(diag_c, nrow)
+    gate = jnp.where(row_ok, gap[:, None], 1.0)
+    gate = jnp.stack([gate, gate], axis=2).reshape(k * nrow)
+    fri = jnp.zeros(k * nrow, dtype)
+  else:
+    rows_j = jnp.concatenate([jc[:, 0:1, :], axes_j],
+                             axis=1).reshape(k * nrow, m.nv)
+    diag = jnp.repeat(invw, nrow)
+    row_ok = jnp.concatenate(
+        [jnp.ones((k, 1), bool), axis_ok], axis=1)
+    gate = jnp.where(row_ok, gap[:, None], 1.0).reshape(k * nrow)
+    # efc_fri: friction rows marked with their D scale wrt the normal row
+    ratio = mu_ax / jnp.maximum(mu_eff[:, None], _MINVAL)
+    fri = jnp.concatenate(
+        [jnp.zeros((k, 1), dtype),
+         jnp.maximum(ratio * ratio, 1e-20)], axis=1).reshape(k * nrow)
+
+  rows_pos = jnp.repeat(gap, nrow)
+  rows_ref = jnp.repeat(solref, nrow, axis=0)
+  rows_imp = jnp.repeat(solimp, nrow, axis=0)
+  out = (rows_j, rows_pos, rows_ref, rows_imp, gate, diag, fri)
   return contact, out
 
 
@@ -401,8 +486,12 @@ def make_constraint(m: Model, d: Data) -> Data:
     diags.append(td)
     eqs.append(jnp.zeros(tp.shape, dtype))
     flosses.append(jnp.zeros(tp.shape, dtype))
+  fris = [jnp.zeros(x[1].shape, dtype) for x in (fr, eq, lim)
+          if x is not None]
+  if tlim is not None:
+    fris.append(jnp.zeros(tlim[1].shape, dtype))
   if con is not None:
-    cj, cpos, cr, ci, cg, cd = con
+    cj, cpos, cr, ci, cg, cd, cfri = con
     js.append(cj)
     poss.append(cpos)
     refs.append(cr)
@@ -411,6 +500,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     diags.append(cd)
     eqs.append(jnp.zeros(cpos.shape, dtype))
     flosses.append(jnp.zeros(cpos.shape, dtype))
+    fris.append(cfri)
 
   if not js:
     z = jnp.zeros((0,), dtype)
@@ -419,7 +509,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     return d.replace(
         contact=contact, efc_J=jnp.zeros((0, m.nv), dtype), efc_pos=z,
         efc_solref=z2, efc_solimp=z5, efc_diag=z, efc_gate=z, efc_D=z,
-        efc_aref=z, efc_eq=z, efc_floss=z)
+        efc_aref=z, efc_eq=z, efc_floss=z, efc_fri=z)
 
   return d.replace(
       contact=contact,
@@ -430,11 +520,18 @@ def make_constraint(m: Model, d: Data) -> Data:
       efc_gate=jnp.concatenate(gates),
       efc_diag=jnp.concatenate(diags),
       efc_eq=jnp.concatenate(eqs),
-      efc_floss=jnp.concatenate(flosses))
+      efc_floss=jnp.concatenate(flosses),
+      efc_fri=jnp.concatenate(fris))
 
 
 def reference_constraint(m: Model, d: Data) -> Data:
-  """Velocity-stage: aref and D for all rows (mj_fwdVelocity part)."""
+  """Velocity-stage: aref and D for all rows (mj_fwdVelocity part).
+
+  Elliptic-cone friction rows (efc_fri > 0) follow mj_makeConstraint's
+  elliptic semantics (oracle-verified): aref = -B*jv (no spring term —
+  their constraint "position" is identically zero) and D scaled by
+  (mu_i/mu_eff)^2 from the contact's normal-row D.
+  """
   dtype = d.qpos.dtype
   if d.efc_J.shape[0] == 0:
     return d
@@ -443,7 +540,86 @@ def reference_constraint(m: Model, d: Data) -> Data:
   r = jnp.maximum((1.0 - imp) / jnp.maximum(imp, _MINVAL) *
                   jnp.maximum(d.efc_diag, _MINVAL), _MINVAL)
   gate = (d.efc_gate < 0).astype(dtype)
-  return d.replace(efc_D=gate / r, efc_aref=aref)
+  dvec = gate / r
+  if d.efc_fri is not None:
+    is_fri = d.efc_fri > 0
+    # friction rows reuse the contact impedance (same solimp, same pos as
+    # the normal row => same imp/r) but drop the K*imp*pos spring term
+    timeconst = d.efc_solref[..., 0]
+    dmax = jnp.clip(d.efc_solimp[..., 1], _MINIMP, _MAXIMP)
+    use_std = (timeconst > 0) & (d.efc_solref[..., 1] > 0)
+    b_std = 2.0 / jnp.maximum(dmax * timeconst, _MINVAL)
+    b_dir = -d.efc_solref[..., 1] / jnp.maximum(dmax, _MINVAL)
+    b = jnp.where(use_std, b_std, b_dir)
+    aref = jnp.where(is_fri, -b * jv, aref)
+    dvec = jnp.where(is_fri, dvec * d.efc_fri, dvec)
+  return d.replace(efc_D=dvec, efc_aref=aref)
+
+
+def _elliptic_layout(d: Data):
+  """Static elliptic contact-tail layout (k, namax, nrow) or None."""
+  c = d.contact
+  if c is None or c.cone != 1 or c.dist is None:
+    return None
+  k = c.dist.shape[0]
+  if k == 0:
+    return None
+  namax = c.namax
+  return k, namax, 1 + namax
+
+
+def _elliptic_terms(d: Data, jar_blk: jax.Array, dblk: jax.Array):
+  """Per-contact elliptic cone cost expansion (mj_constraintUpdate
+  semantics, oracle-matched incl. impratio and condim 4/6).
+
+  Zones in the scaled space s_i = jar_i * mu_i / mu_eff, n = jar_normal,
+  t = ||s||, mu = mu_eff:
+    bottom (mu*n + t <= 0): full per-row quadratic (g = D*jar);
+    top    (n >= mu*t):     zero force;
+    middle:                 cost 0.5 * D_N/(1+mu^2) * (n - mu*t)^2.
+
+  The middle-zone cost is convex with exact Hessian
+      w_coef * (gz gz^T + |z| * mu / t * (diag(scale^2) - cs cs^T))
+  on the friction block (the cone Hessian — MuJoCo's flg_coneHessian);
+  dropping the second term makes Newton overshoot and oscillate.
+
+  Returns (g (k,nrow) row gradients, h (k,nrow) diagonal curvature incl.
+  the cone diagonal, w_mid (k,) weight of the +gz gz^T rank-1 term,
+  gz (k,nrow), w_neg (k,) weight of the -cs cs^T rank-1 term,
+  cs (k,nrow) its row direction).
+  """
+  c = d.contact
+  namax = c.namax
+  dtype = jar_blk.dtype
+  mu = c.mu_eff
+  axis_ok = (c.dim[:, None] >=
+             jnp.asarray(_AXIS_MIN_CONDIM[:namax])[None, :])
+  scale = (c.friction[:, :namax] /
+           jnp.maximum(mu[:, None], _MINVAL)) * axis_ok
+  n = jar_blk[:, 0]
+  s = jar_blk[:, 1:] * scale
+  t = jnp.sqrt(jnp.sum(s * s, axis=1))
+  tsafe = jnp.maximum(t, 1e-12)
+  bottom = (mu * n + t <= 0.0)
+  middle = (~bottom) & (n < mu * t)
+  dn = dblk[:, 0]
+  w_coef = dn / (1.0 + mu * mu)
+  z = n - mu * t
+  shat = s / tsafe[:, None]
+  zeros1 = jnp.zeros((jar_blk.shape[0], 1), dtype)
+  gz = jnp.concatenate(
+      [jnp.ones((jar_blk.shape[0], 1), dtype),
+       -(mu[:, None]) * shat * scale], axis=1)  # (k, nrow)
+  cs = jnp.concatenate([zeros1, shat * scale], axis=1)
+  g = (jnp.where(bottom[:, None], dblk * jar_blk, 0.0) +
+       jnp.where(middle[:, None], (w_coef * z)[:, None] * gz, 0.0))
+  # cone curvature weight |z| mu / t (z < 0 throughout the middle zone)
+  w_cone = jnp.where(middle, w_coef * (-z) * mu / tsafe, 0.0)
+  h = jnp.where(bottom[:, None], dblk, 0.0)
+  cone_diag = jnp.concatenate([zeros1, scale * scale], axis=1)
+  h = h + w_cone[:, None] * cone_diag
+  w_mid = jnp.where(middle, w_coef, 0.0)
+  return g, h, w_mid, gz, w_cone, cs
 
 
 def efc_force_at(d: Data, qacc: jax.Array) -> jax.Array:
@@ -469,6 +645,13 @@ def efc_force_at(d: Data, qacc: jax.Array) -> jax.Array:
   f_lin = dvec * jar
   g = jnp.where(fr_mask > 0, jnp.clip(f_lin, -floss, floss),
                 base_active * jar)
+  lay = _elliptic_layout(d)
+  if lay is not None:
+    k, namax, nrow = lay
+    ncr = k * nrow
+    g_blk = _elliptic_terms(
+        d, jar[-ncr:].reshape(k, nrow), dvec[-ncr:].reshape(k, nrow))[0]
+    g = g.at[-ncr:].set(g_blk.reshape(-1))
   return -g
 
 
@@ -495,11 +678,16 @@ def solve(m: Model, d: Data) -> Data:
   floss = d.efc_floss if d.efc_floss is not None else jnp.zeros_like(dvec)
   fr_mask = (floss > 0).astype(dtype)
 
+  lay = _elliptic_layout(d)
+  ncr = lay[0] * lay[2] if lay is not None else 0
+
   def grad_weight(jar):
-    """Per-row cost gradient g(jar) and curvature weight h(jar).
+    """Cost gradient g(jar), diagonal curvature h(jar), and the elliptic
+    middle-zone rank-1 curvature (w_mid, gz) when present.
 
     inequality: quadratic one-sided; equality: quadratic two-sided;
-    friction-loss: Huber with force bound +-floss."""
+    friction-loss: Huber with force bound +-floss; elliptic contact
+    tail: per-contact cone zones (_elliptic_terms)."""
     base_active = jnp.maximum((jar < 0).astype(dtype), eq_mask) * dvec
     f_lin = dvec * jar
     g = jnp.where(fr_mask > 0, jnp.clip(f_lin, -floss, floss),
@@ -507,13 +695,28 @@ def solve(m: Model, d: Data) -> Data:
     h = jnp.where(fr_mask > 0,
                   dvec * (jnp.abs(f_lin) < floss).astype(dtype),
                   base_active)
-    return g, h
+    if lay is None:
+      return g, h, None, None, None, None
+    k, namax, nrow = lay
+    g_blk, h_blk, w_mid, gz, w_cone, cs = _elliptic_terms(
+        d, jar[-ncr:].reshape(k, nrow), dvec[-ncr:].reshape(k, nrow))
+    g = g.at[-ncr:].set(g_blk.reshape(-1))
+    h = h.at[-ncr:].set(h_blk.reshape(-1))
+    return g, h, w_mid, gz, w_cone, cs
 
   def newton_step(a):
     jar = j @ a - aref
-    g, hw = grad_weight(jar)
+    g, hw, w_mid, gz, w_cone, cs = grad_weight(jar)
     grad = mass @ (a - a0) + j.T @ g
     h = mass + (j.T * hw) @ j
+    if lay is not None:
+      # middle-zone exact cone Hessian per contact:
+      # H += sum_c w_mid_c v_c v_c^T - w_cone_c u_c u_c^T
+      # (plus the diag(scale^2) part already folded into hw)
+      j_blk = j[-ncr:].reshape(lay[0], lay[2], nv)
+      v = jnp.einsum("kr,krv->kv", gz, j_blk)  # (k, nv)
+      u = jnp.einsum("kr,krv->kv", cs, j_blk)
+      h = h + (v.T * w_mid) @ v - (u.T * w_cone) @ u
     # damped Cholesky (tiny jitter for robustness in f32)
     h = h + 1e-8 * jnp.eye(nv, dtype=dtype)
     chol = jnp.linalg.cholesky(h)
@@ -527,9 +730,15 @@ def solve(m: Model, d: Data) -> Data:
 
     def ls_body(_, t):
       jart = jar + t * jp
-      gt, ht = grad_weight(jart)
+      gt, ht, w_mid_t, gz_t, w_cone_t, cs_t = grad_weight(jart)
       dphi = pma + t * pmp + jnp.sum(gt * jp)
       ddphi = pmp + jnp.sum(ht * jp * jp)
+      if lay is not None:
+        jp_blk = jp[-ncr:].reshape(lay[0], lay[2])
+        vp = jnp.einsum("kr,kr->k", gz_t, jp_blk)
+        up = jnp.einsum("kr,kr->k", cs_t, jp_blk)
+        ddphi = ddphi + jnp.sum(w_mid_t * vp * vp) - \
+            jnp.sum(w_cone_t * up * up)
       return t - dphi / jnp.maximum(ddphi, _MINVAL)
 
     t = jax.lax.fori_loop(0, ls_iterations, ls_body, jnp.ones((), dtype))
@@ -544,18 +753,26 @@ def solve(m: Model, d: Data) -> Data:
   d = d.replace(
       qacc=qacc, qfrc_constraint=qfrc_constraint, efc_force=efc_force)
 
-  # decode contact-frame forces from the pyramidal tail rows
-  # (mj_contactForce semantics for pyramidal cones): contact rows are
-  # appended LAST by make_constraint, 4 rows per selected contact in
-  # (mu0+, mu0-, mu1+, mu1-) order; lam >= 0 when active.
-  # f_n = sum(lam); f_ti = mu_i (lam_i+ - lam_i-).
+  # decode contact-frame forces from the contact tail rows
+  # (mj_contactForce semantics). Pyramidal: 2*namax rows per contact in
+  # (a0+, a0-, a1+, a1-, ...) order; f_n = sum(lam),
+  # f_ti = mu_i (lam_i+ - lam_i-). Elliptic: the rows ARE the
+  # contact-frame forces.
   if d.contact is not None and d.contact.dist is not None:
     k = d.contact.dist.shape[0]
-    if k > 0 and nefc >= 4 * k:
-      lam = efc_force[nefc - 4 * k:].reshape(k, 2, 2)
-      mu = d.contact.friction[:, :2]
-      f_n = jnp.sum(lam, axis=(1, 2))
-      f_t = mu * (lam[:, :, 0] - lam[:, :, 1])
-      d = d.replace(contact=d.contact.replace(
-          force=jnp.concatenate([f_n[:, None], f_t], axis=1)))
+    namax = d.contact.namax
+    if d.contact.cone == 1:
+      nrow = 1 + namax
+      if k > 0 and nefc >= k * nrow:
+        fblk = efc_force[nefc - k * nrow:].reshape(k, nrow)
+        d = d.replace(contact=d.contact.replace(force=fblk[:, :3]))
+    else:
+      nrow = 2 * namax
+      if k > 0 and nefc >= k * nrow:
+        lam = efc_force[nefc - k * nrow:].reshape(k, namax, 2)
+        mu = d.contact.friction[:, :2]
+        f_n = jnp.sum(lam, axis=(1, 2))
+        f_t = mu * (lam[:, :2, 0] - lam[:, :2, 1])
+        d = d.replace(contact=d.contact.replace(
+            force=jnp.concatenate([f_n[:, None], f_t], axis=1)))
   return d

@@ -128,6 +128,8 @@ class Option:
   magnetic: jax.Array = None  # (3,) global magnetic flux (magnetometer)
   # static fields
   integrator: int = struct.field(pytree_node=False, default=EULER)
+  # friction-cone type (mjtCone): 0 pyramidal, 1 elliptic
+  cone: int = struct.field(pytree_node=False, default=0)
   # fixed-iteration Newton constraint solver (TPU: static trip counts)
   iterations: int = struct.field(pytree_node=False, default=6)
   ls_iterations: int = struct.field(pytree_node=False, default=4)
@@ -315,10 +317,19 @@ class Contact:
   body1: jax.Array = None      # (ncon,) int
   body2: jax.Array = None      # (ncon,) int
   # contact-frame force (normal, tangent1, tangent2) decoded from the
-  # pyramidal efc rows after the solve; zero for inactive candidates.
+  # efc rows after the solve; zero for inactive candidates.
   # This is what puts contact state in reach of task residuals (reference
   # residuals read data->contact, e.g. mjpc/tasks/bimanual/insert.cc:60-121)
   force: jax.Array = None      # (ncon, 3)
+  # per-contact condim of the SELECTED candidates (traced after top-k)
+  dim: jax.Array = None        # (ncon,) int
+  # effective cone coefficient friction[0]/sqrt(impratio) (elliptic solve)
+  mu_eff: jax.Array = None     # (ncon,)
+  # static block layout: cone type (0 pyramidal / 1 elliptic), number of
+  # friction axes built per contact (condim_max - 1, min 2), rows per
+  # contact in the efc tail (2*namax pyramidal, 1+namax elliptic)
+  cone: int = struct.field(pytree_node=False, default=0)
+  namax: int = struct.field(pytree_node=False, default=2)
 
 
 @struct.dataclass
@@ -385,6 +396,12 @@ class Data:
   efc_eq: jax.Array = None      # (nefc,) 1 for equality rows (two-sided)
   efc_floss: jax.Array = None   # (nefc,) friction-loss bound (0 = not a
                                 # friction row)
+  efc_fri: jax.Array = None     # (nefc,) elliptic-friction-row marker:
+                                # 0 for generic rows; (mu_i/mu_eff)^2 (the
+                                # D scale wrt the contact's normal row,
+                                # clamped >= 1e-20) for elliptic friction
+                                # rows, which also drop the K*imp*pos
+                                # spring term from aref
   efc_D: jax.Array = None       # (nefc,)
   efc_aref: jax.Array = None    # (nefc,)
   efc_force: jax.Array = None
@@ -508,6 +525,7 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32) -> Model:
       impratio=dev(mjm.opt.impratio),
       magnetic=dev(mjm.opt.magnetic),
       integrator=int(mjm.opt.integrator),
+      cone=int(mjm.opt.cone),
       # cap MuJoCo's generous defaults: fixed-point Newton converges in a
       # handful of iterations on robotics-scale systems
       iterations=solver_iters,
