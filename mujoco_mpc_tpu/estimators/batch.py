@@ -88,6 +88,12 @@ class Batch(base.Estimator):
     self.recursive_prior_update = recursive_prior_update
 
     self._make_direct()
+    # the fused _step pins direct.parameters to param_initial each
+    # update; a param_update-configured Direct would be silently
+    # disabled, so refuse it up front (ADVICE r3)
+    assert getattr(self.direct, "nparam", 0) == 0, (
+        "Batch filtering does not support joint parameter estimation; "
+        "run a standalone Direct optimizer with param_update instead")
     self._fwd = jax.jit(lambda d: F.forward(self.m, d))
     # one jitted program for the per-update prep (predict + actuation
     # force) and one for the FD velocity — the eager qpos_add/qpos_diff

@@ -120,6 +120,14 @@ class Kalman(base.Estimator):
     self.x, self.p = self._predict(self.x, self.p, self.q_noise, ctrl)
 
   def update(self, ctrl, sensor):
+    """One EKF step (measurement + prediction) as one device program.
+
+    BEHAVIOR CHANGE (round 3): returns a LAZY jax device array, not a
+    synced numpy array — the serving path chains updates without a host
+    round trip per step. Callers that need numpy semantics must read the
+    `.state` property (synced view) instead of the return value. Same
+    applies to update_measurement() here and in unscented.py.
+    """
     ctrl = jnp.asarray(ctrl, self.dtype)
     y = jnp.asarray(sensor, self.dtype)
     self.x, self.p, _ = self._step(

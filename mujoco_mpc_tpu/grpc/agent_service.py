@@ -182,9 +182,15 @@ class AgentServicer:
         short = name[len("select_"):]
         options = agent.task.selection_options(short)
         idx = int(round(float(value)))
-        if 0 <= idx < len(options):
-          resp.parameters[short].selection = options[idx]
-          continue
+        if not 0 <= idx < len(options):
+          # never fall through to the numeric oneof: clients switching
+          # on the oneof must not see a type change on a stale index
+          context.abort(
+              grpc.StatusCode.INVALID_ARGUMENT,
+              f"selection parameter '{short}' holds invalid index {idx} "
+              f"(options: {options})")
+        resp.parameters[short].selection = options[idx]
+        continue
       resp.parameters[name].numeric = float(value)
     return resp
 
@@ -263,12 +269,14 @@ class AgentServicer:
     if request.mode:
       self.SetMode(agent_pb2.SetModeRequest(mode=request.mode), context)
     if request.mocap:
-      self._set_mocap(request.mocap)
+      self._set_mocap(request.mocap, context)
     return agent_pb2.SetAnythingResponse()
 
-  def _set_mocap(self, mocap_map):
+  def _set_mocap(self, mocap_map, context):
     """Named per-body mocap poses (reference grpc_agent_util.cc
-    SetMocap:442-478): validate every name/size BEFORE applying."""
+    SetMocap:442-478): validate every name/size BEFORE applying, and
+    surface bad input as INVALID_ARGUMENT like the reference (explicit
+    checks, not asserts — python -O must not strip validation)."""
     import jax.numpy as jnp
     import mujoco
     agent = self._require()
@@ -276,13 +284,21 @@ class AgentServicer:
     ids = {}
     for name, pose in mocap_map.items():
       body = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_BODY, name)
-      assert body >= 0, f"Body '{name}' not found."
+      if body < 0:
+        context.abort(grpc.StatusCode.INVALID_ARGUMENT,
+                      f"Body '{name}' not found.")
       mocap_id = int(mjm.body_mocapid[body])
-      assert mocap_id >= 0, f"Body '{name}' is not a mocap body."
-      assert len(pose.pos) in (0, 3), \
-          f"Mocap '{name}' has invalid pose size {len(pose.pos)}."
-      assert len(pose.quat) in (0, 4), \
-          f"Mocap '{name}' has invalid quat size {len(pose.quat)}."
+      if mocap_id < 0:
+        context.abort(grpc.StatusCode.INVALID_ARGUMENT,
+                      f"Body '{name}' is not a mocap body.")
+      if len(pose.pos) not in (0, 3):
+        context.abort(
+            grpc.StatusCode.INVALID_ARGUMENT,
+            f"Mocap '{name}' has invalid pose size {len(pose.pos)}.")
+      if len(pose.quat) not in (0, 4):
+        context.abort(
+            grpc.StatusCode.INVALID_ARGUMENT,
+            f"Mocap '{name}' has invalid quat size {len(pose.quat)}.")
       ids[name] = mocap_id
     d = agent.data
     dtype = d.qpos.dtype

@@ -22,8 +22,18 @@ def apply():
       os.path.abspath(__file__))))
   cache = os.environ.get("MJPC_TPU_COMPILE_CACHE")
   if cache is None:
-    # match the caches the benches/tests use (bench.py, tests/conftest)
-    suffix = "_cpu" if (plat or "tpu") == "cpu" else ""
+    # match the caches the benches/tests use (bench.py, tests/conftest).
+    # Derive the suffix from the RESOLVED backend, not the env var: with
+    # MJPC_TPU_PLATFORM unset and no TPU attached, jax falls back to CPU
+    # and the CPU cache is the one that can be hit.
+    if plat:
+      resolved = plat
+    else:
+      try:
+        resolved = jax.default_backend()
+      except Exception:
+        resolved = "tpu"
+    suffix = "_cpu" if resolved == "cpu" else ""
     cache = os.path.join(repo, f".jax_cache{suffix}")
   try:
     jax.config.update("jax_compilation_cache_dir", cache)

@@ -46,7 +46,7 @@ _OBJ_HANDOVER = (
     '<body name="object" pos="-0.15 0 0.03">\n'
     '      <freejoint/>\n'
     '      <geom name="obj_geom" type="box" size="0.02 0.02 0.03" '
-    'mass="0.08"\n            friction="1.5 0.02 0.002"/>\n'
+    'mass="0.08"\n            condim="6" friction="1.5 0.02 0.002"/>\n'
     '    </body>\n'
     '    <body name="target" mocap="true" pos="0.25 0.15 0.03">\n'
     '      <geom name="target_geom" type="box" size="0.02 0.02 0.03"\n'
@@ -57,13 +57,13 @@ _OBJ_INSERT = (
     '<body name="connector_female" pos="-0.15 0.1 0.025">\n'
     '      <freejoint/>\n'
     '      <geom name="connector_f_grip" type="box" '
-    'size="0.03 0.03 0.02" mass="0.08" friction="1.5 0.02 0.002"/>\n'
+    'size="0.03 0.03 0.02" mass="0.08" condim="6" friction="1.5 0.02 0.002"/>\n'
     '      <site name="connector_f" pos="0 0 0.02"/>\n'
     '    </body>\n'
     '    <body name="connector_male" pos="0.15 -0.1 0.025">\n'
     '      <freejoint/>\n'
     '      <geom name="connector_m_grip" type="box" '
-    'size="0.015 0.015 0.035" mass="0.06" friction="1.5 0.02 0.002"/>\n'
+    'size="0.015 0.015 0.035" mass="0.06" condim="6" friction="1.5 0.02 0.002"/>\n'
     '      <site name="connector_m" pos="0 0 -0.02"/>\n'
     '    </body>\n'
     '    <geom name="target" type="sphere" pos="0 0.25 0.1" size="0.015"'
@@ -73,9 +73,9 @@ _OBJ_REORIENT = (
     '<body name="cross" pos="0 0 0.03">\n'
     '      <freejoint/>\n'
     '      <geom name="cross_a" type="box" size="0.05 0.015 0.015" '
-    'mass="0.05" friction="1.5 0.02 0.002"/>\n'
+    'mass="0.05" condim="6" friction="1.5 0.02 0.002"/>\n'
     '      <geom name="cross_b" type="box" size="0.015 0.05 0.015" '
-    'mass="0.05" friction="1.5 0.02 0.002"/>\n'
+    'mass="0.05" condim="6" friction="1.5 0.02 0.002"/>\n'
     '    </body>\n'
     '    <body name="target_orient" mocap="true" pos="0 0 0.25">\n'
     '      <geom name="t_a" type="box" size="0.05 0.015 0.015" '

@@ -43,14 +43,14 @@ def _arm(side, x, flip):
                      range="0 0.02"/>
               <geom name="fl_{side}_geom" type="box"
                     size="0.025 0.005 0.01" pos="{s * 0.025} 0 0"
-                    mass="0.05" friction="1.5 0.02 0.002"/>
+                    mass="0.05" condim="6" friction="1.5 0.02 0.002"/>
             </body>
             <body name="fr_{side}" pos="{s * 0.15} -0.025 0">
               <joint name="grip_r_{side}" type="slide" axis="0 1 0"
                      range="0 0.02"/>
               <geom name="fr_{side}_geom" type="box"
                     size="0.025 0.005 0.01" pos="{s * 0.025} 0 0"
-                    mass="0.05" friction="1.5 0.02 0.002"/>
+                    mass="0.05" condim="6" friction="1.5 0.02 0.002"/>
             </body>
           </body>
         </body>
@@ -73,7 +73,7 @@ def _acts():
 
 _XML = f"""
 <mujoco model="BimanualHandover">
-  <option timestep="0.005"/>
+  <option timestep="0.005" cone="elliptic" impratio="10"/>
   <custom>
     <numeric name="agent_planner" data="0" />
     <numeric name="agent_horizon" data="0.5" />
@@ -93,7 +93,7 @@ _XML = f"""
     <body name="object" pos="-0.15 0 0.03">
       <freejoint/>
       <geom name="obj_geom" type="box" size="0.02 0.02 0.03" mass="0.08"
-            friction="1.5 0.02 0.002"/>
+            condim="6" friction="1.5 0.02 0.002"/>
     </body>
     <body name="target" mocap="true" pos="0.25 0.15 0.03">
       <geom name="target_geom" type="box" size="0.02 0.02 0.03"

@@ -27,7 +27,7 @@ def _finger(name, x):
         <geom name="distal_{name}_geom" type="capsule"
               fromto="0 0 0 0 0 -0.05" size="0.012" mass="0.05"/>
         <geom name="tip_{name}" type="sphere" pos="0 0 -0.055" size="0.014"
-              mass="0.01" friction="1.2 0.01 0.001"/>
+              mass="0.01" condim="6" friction="1.2 0.01 0.001"/>
         <site name="fingertip_{name}" pos="0 0 -0.055"/>
       </body>
     </body>"""
@@ -35,7 +35,7 @@ def _finger(name, x):
 
 _XML = f"""
 <mujoco model="Fingers">
-  <option timestep="0.004"/>
+  <option timestep="0.004" cone="elliptic"/>
   <custom>
     <numeric name="agent_planner" data="0" />
     <numeric name="agent_horizon" data="0.5" />
@@ -51,7 +51,7 @@ _XML = f"""
     <body name="object" pos="0 0 0.025">
       <freejoint/>
       <geom name="box" type="box" size="0.025 0.025 0.025" mass="0.08"
-            friction="1.2 0.01 0.001"/>
+            condim="6" friction="1.2 0.01 0.001"/>
       <site name="corner0" pos="0.025 0.025 0.025"/>
       <site name="corner1" pos="-0.025 0.025 -0.025"/>
       <site name="corner2" pos="0.025 -0.025 -0.025"/>

@@ -19,7 +19,7 @@ from mujoco_mpc_tpu.tasks import base
 
 _XML = """
 <mujoco model="Manipulation">
-  <option timestep="0.005"/>
+  <option timestep="0.005" cone="elliptic"/>
   <custom>
     <numeric name="agent_planner" data="0" />
     <numeric name="agent_horizon" data="0.5" />
@@ -61,14 +61,14 @@ _XML = """
                 <joint name="grip_l" type="slide" axis="0 -1 0"
                        range="0 0.025"/>
                 <geom name="fl" type="box" size="0.035 0.006 0.012"
-                      pos="0.035 0 0" mass="0.08"
+                      pos="0.035 0 0" mass="0.08" condim="6"
                       friction="1.5 0.02 0.002"/>
               </body>
               <body name="finger_r" pos="0.06 -0.03 0">
                 <joint name="grip_r" type="slide" axis="0 1 0"
                        range="0 0.025"/>
                 <geom name="fr" type="box" size="0.035 0.006 0.012"
-                      pos="0.035 0 0" mass="0.08"
+                      pos="0.035 0 0" mass="0.08" condim="6"
                       friction="1.5 0.02 0.002"/>
               </body>
             </body>
@@ -79,7 +79,7 @@ _XML = """
     <body name="object" pos="0.4 0 0.03">
       <freejoint/>
       <geom name="obj" type="box" size="0.022 0.022 0.03" mass="0.1"
-            friction="1.5 0.02 0.002"/>
+            condim="6" friction="1.5 0.02 0.002"/>
       <site name="obj_top" pos="0 0 0.03"/>
     </body>
     <body name="target" mocap="true" pos="0.3 0.25 0.03">

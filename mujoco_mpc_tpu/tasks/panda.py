@@ -87,7 +87,7 @@ _XML = """
     <body name="boxb" pos="0.45 0 0.03">
       <freejoint/>
       <geom name="box" type="box" size="0.025 0.025 0.025" mass="0.1"
-            friction="1.5 0.02 0.002"/>
+            priority="1" condim="6" friction="1.5 0.02 0.002"/>
       <site name="box1" pos="0.02 0.02 0.02"/>
       <site name="box2" pos="-0.02 -0.02 -0.02"/>
     </body>

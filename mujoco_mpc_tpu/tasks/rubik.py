@@ -346,9 +346,9 @@ _CUBIE_OFF = 0.0215     # shell offset of cubie centers along the normal
 _CUBIE_LAT = 0.0205     # lateral grid spacing
 
 
-def _finger20(i, angle_deg):
+def _finger20(i, angle_deg, radius=0.105):
   a = math.radians(angle_deg)
-  x, y = 0.105 * math.cos(a), 0.105 * math.sin(a)
+  x, y = radius * math.cos(a), radius * math.sin(a)
   rot = math.degrees(math.atan2(-y, -x))
   return f"""
     <body name="fknuckle_{i}" pos="{x:.4f} {y:.4f} 0.032"

@@ -229,6 +229,8 @@ def main():
   bench_sampling("Rubik", k=512, horizon=16)              # config 5
   # reference testspeed.cc default workload (testspeed_app.cc:23-28)
   bench_sampling("Cube Solving", k=512, horizon=16)
+  # shadow-class in-hand reorientation (20-actuator hand, VERDICT r4 #4)
+  bench_sampling("Hand Reorient", k=512, horizon=16)
   # cross-entropy on the shared lane scorer (flagship shape)
   bench_cem("Quadruped Flat", k=4096, horizon=36)
   # the rest of the planner registry on one cheap task

@@ -192,3 +192,38 @@ def test_torsional_friction_stops_spin():
     spins[condim] = abs(float(d.qvel[5]))
   assert spins[6] < 0.2 * spins[3], spins
   assert spins[3] > 4.0, spins  # condim 3 barely brakes the spin
+
+
+def test_unsupported_geom_pair_raises_loudly():
+  """A colliding pair with no narrowphase must fail put_model with the
+  geom names, not silently drop (VERDICT r3 weak #2)."""
+  xml = """
+  <mujoco>
+    <asset>
+      <mesh name="tet" vertex="0 0 0  1 0 0  0 1 0  0 0 1"/>
+    </asset>
+    <worldbody>
+      <body pos="0 0 1"><freejoint/>
+        <geom name="mesh_a" type="mesh" mesh="tet" mass="0.1"/>
+      </body>
+      <body pos="0 0 2"><freejoint/>
+        <geom name="mesh_b" type="mesh" mesh="tet" mass="0.1"/>
+      </body>
+    </worldbody>
+  </mujoco>
+  """
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  with pytest.raises(ValueError, match="mesh_a.*mesh_b|mesh_b.*mesh_a"):
+    M.put_model(mjm)
+  # explicit escape hatch accepts the reduced contact set
+  m = M.put_model(mjm, allow_reduced_contacts=True)
+  assert m is not None
+
+
+def test_unsupported_condim_raises_loudly():
+  mjm = mujoco.MjModel.from_xml_string(
+      BALL_XML.format(cone="pyramidal", condim=3, impratio=1.0))
+  mjm.geom_condim[0] = 2  # not a MuJoCo condim class we implement
+  with pytest.raises(ValueError, match="condim"):
+    M.put_model(mjm)
+  assert M.put_model(mjm, allow_reduced_contacts=True) is not None
