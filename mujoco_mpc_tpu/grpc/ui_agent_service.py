@@ -73,6 +73,8 @@ class LiveLoop:
         except Exception as e:  # surface to the RPC thread
           out[1] = e
         done.set()
+      if self._stop.is_set():
+        break
       if n % self.steps_per_plan == 0:
         try:
           self.agent.plan_iteration()
@@ -108,8 +110,12 @@ class LiveLoop:
       raise TimeoutError("physics loop did not advance")
 
   def stop(self):
+    """Stop and JOIN the physics thread. The loop re-checks the stop
+    flag between jobs/planning/stepping, so the join bound only needs
+    to cover one in-flight plan or step (can be seconds on a cold
+    compile); a still-alive thread after that is a real wedge."""
     self._stop.set()
-    self._physics.join(timeout=5)
+    self._physics.join(timeout=60)
 
 
 class UiAgentServicer(AgentServicer):

