@@ -10,6 +10,15 @@ initial state, the spline parameters, and the recorded trajectory.
 The kernel is generated from the same static model metadata as the jnp
 pipeline (physics/*), using the component-tuple math in ops/lanemath.py.
 Correctness is checked against the jnp `F.step` path in tests.
+
+Contact class: the in-kernel solver models condim-3 PYRAMIDAL contacts —
+a deliberate PLANNING reduction even when the simulation model is
+condim-6 elliptic (the reference ships reduced plan models the same
+way; physics/constraint.py carries the full condim/cone fidelity for
+simulation, estimators, and Direct). The cost of the reduction is
+measured and published: BENCH_PATH=lane_full (all contact types, same
+kernel) vs the default feet-only run differ ~6% on the flagship
+(docs/BASELINE_PROTOCOL.md).
 """
 
 from __future__ import annotations

@@ -40,6 +40,9 @@ SUPPORTED_PAIRS = {
     (HFIELD, BOX): 4,
     (PLANE, MESH): 4,
     (SPHERE, MESH): 1,
+    (CAPSULE, MESH): 5,
+    (BOX, MESH): 8,
+    (MESH, MESH): 4,
     (PLANE, SPHERE): 1,
     (PLANE, CAPSULE): 2,
     (PLANE, ELLIPSOID): 1,
@@ -607,17 +610,140 @@ def _sphere_mesh_one(verts, p1, m1, s1, p2, m2):
   return dist[None], pos[None], n[None]
 
 
+def _points_vs_hull(pts, hull, ph, mh):
+  """Signed distance of world points to a convex hull (planes in the
+  hull mesh's frame, n.x <= d): (dist, world outward normal). Exact for
+  face-closest points, a lower bound near edges/corners — the standard
+  convex-polytope approximation (MuJoCo collides mesh hulls too)."""
+  pl = jnp.einsum("ij,vi->vj", mh, pts - ph[None])     # hull frame
+  sd = jnp.einsum("fk,vk->vf", hull[:, :3], pl) - hull[None, :, 3]
+  dist = jnp.max(sd, axis=-1)
+  face = jnp.argmax(sd, axis=-1)
+  nw = jnp.einsum("ij,vj->vi", mh, hull[face, :3])
+  return dist, nw
+
+
+def _capsule_mesh_one(verts, hull, p1, m1, s1, p2, m2):
+  """Capsule (geom1) vs convex mesh (geom2), two-sided:
+  (a) 3 capsule-axis sample points vs the mesh hull planes (face
+  contacts — pure vertex clouds miss mid-face rests), and
+  (b) the 2 deepest mesh vertices vs the capsule segment (vertex pokes).
+  5 candidate contacts total."""
+  r, hl = s1[0], s1[1]
+  axis = m1[:, 2]
+  # (a) segment samples vs hull
+  ts = jnp.asarray([-1.0, 0.0, 1.0]) * hl
+  pts = p1[None] + ts[:, None] * axis[None]            # (3, 3)
+  sd, n_h = _points_vs_hull(pts, hull, p2, m2)
+  dist_a = sd - r
+  n_a = -n_h                                           # geom1 -> geom2
+  pos_a = pts + n_a * (r + 0.5 * dist_a)[:, None]
+  # (b) mesh verts vs capsule segment
+  vw = p2[None] + jnp.einsum("ij,vj->vi", m2, verts)   # (V, 3)
+  t = jnp.clip(jnp.einsum("vi,i->v", vw - p1[None], axis), -hl, hl)
+  cseg = p1[None] + t[:, None] * axis[None]
+  dvec = vw - cseg
+  dn = jnp.linalg.norm(dvec, axis=-1)
+  _, idx = jax.lax.top_k(-(dn - r), 2)
+  dmin = dn[idx]
+  n_b = dvec[idx] / jnp.maximum(dmin[:, None], 1e-9)
+  dist_b = dmin - r
+  pos_b = cseg[idx] + n_b * (r + 0.5 * dist_b)[:, None]
+  return (jnp.concatenate([dist_a, dist_b]),
+          jnp.concatenate([pos_a, pos_b]),
+          jnp.concatenate([n_a, n_b]))
+
+
+def _box_mesh_one(verts, hull, p1, m1, s1, p2, m2):
+  """Box (geom1) vs convex mesh (geom2), two-sided:
+  (a) the 4 deepest mesh vertices vs the box surface (box frame signed
+  distance), and (b) the 4 deepest box corners vs the mesh hull planes
+  (box resting on a large mesh face). 8 candidate contacts."""
+  # (a) mesh verts vs box
+  vw = p2[None] + jnp.einsum("ij,vj->vi", m2, verts)   # (V, 3)
+  q = jnp.einsum("ij,vi->vj", m1, vw - p1[None])       # box frame
+  s = s1[:3]
+  out = jnp.maximum(jnp.abs(q) - s[None], 0.0)
+  d_out = jnp.linalg.norm(out, axis=-1)
+  d_in = jnp.max(jnp.abs(q) - s[None], axis=-1)        # < 0 inside
+  inside = d_in < 0
+  dist = jnp.where(inside, d_in, d_out)
+  # outward normal in box frame: outside -> direction of the clamped
+  # offset; inside -> the face with the smallest margin
+  n_out = jnp.sign(q) * out
+  n_out = n_out / jnp.maximum(d_out[:, None], 1e-9)
+  face = jnp.argmax(jnp.abs(q) - s[None], axis=-1)
+  n_in = (jnp.eye(3)[face] * jnp.sign(
+      jnp.take_along_axis(q, face[:, None], axis=1)))
+  nb = jnp.where(inside[:, None], n_in, n_out)
+  _, idx = jax.lax.top_k(-dist, 4)
+  nbw = jnp.einsum("ij,vj->vi", m1, nb[idx])           # world normal
+  dist_a = dist[idx]
+  pos_a = vw[idx] - nbw * (0.5 * dist_a)[:, None]
+  # (b) box corners vs mesh hull
+  signs = jnp.asarray([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                       for sz in (-1, 1)], q.dtype)    # (8, 3)
+  corners = p1[None] + jnp.einsum("ij,cj->ci", m1, signs * s[None])
+  sd, n_h = _points_vs_hull(corners, hull, p2, m2)
+  _, cidx = jax.lax.top_k(-sd, 4)
+  dist_b = sd[cidx]
+  n_b = -n_h[cidx]                                     # geom1 -> geom2
+  pos_b = corners[cidx] + n_b * (0.5 * dist_b)[:, None]
+  return (jnp.concatenate([dist_a, dist_b]),
+          jnp.concatenate([pos_a, pos_b]),
+          jnp.concatenate([nbw, n_b]))
+
+
+def _mesh_mesh_one(verts1, hull1, verts2, hull2, p1, m1, p2, m2):
+  """Convex mesh vs convex mesh: vertices of each hull against the face
+  planes of the other (vertex-face contacts; edge-edge is not modeled —
+  MuJoCo's MPR finds one deepest point per pair, this finds up to 4).
+  Four deepest candidates kept overall."""
+  def verts_vs_hull(vw, hull, ph, mh, flip):
+    # vw world verts; hull planes in the OTHER mesh's frame (n.x <= d)
+    vl = jnp.einsum("ij,vi->vj", mh, vw - ph[None])    # (V, 3)
+    sd = jnp.einsum("fk,vk->vf", hull[:, :3], vl) - hull[None, :, 3]
+    dist = jnp.max(sd, axis=-1)                        # convex signed d
+    face = jnp.argmax(sd, axis=-1)
+    nl = hull[face, :3]
+    nw = jnp.einsum("ij,vj->vi", mh, nl)
+    nw = jnp.where(flip, -nw, nw)                      # geom1 -> geom2
+    pos = vw - jnp.where(flip, -nw, nw) * (0.5 * dist)[:, None]
+    return dist, pos, nw
+
+  vw2 = p2[None] + jnp.einsum("ij,vj->vi", m2, verts2)
+  d_a, pos_a, n_a = verts_vs_hull(vw2, hull1, p1, m1, flip=False)
+  vw1 = p1[None] + jnp.einsum("ij,vj->vi", m1, verts1)
+  d_b, pos_b, n_b = verts_vs_hull(vw1, hull2, p2, m2, flip=True)
+  dist = jnp.concatenate([d_a, d_b])
+  pos = jnp.concatenate([pos_a, pos_b])
+  n = jnp.concatenate([n_a, n_b])
+  _, idx = jax.lax.top_k(-dist, 4)
+  return dist[idx], pos[idx], n[idx]
+
+
 def _collide_mesh_group(m, g, d):
-  mid = np.asarray(m.geom_dataid)[g.geom2]             # mesh is geom2
-  verts = m.mesh_vert[mid]                             # (npair, V, 3)
+  mid2 = np.asarray(m.geom_dataid)[g.geom2]            # mesh is geom2
+  verts = m.mesh_vert[mid2]                            # (npair, V, 3)
+  p1, m1 = d.geom_xpos[g.geom1], d.geom_xmat[g.geom1]
+  p2, m2 = d.geom_xpos[g.geom2], d.geom_xmat[g.geom2]
   if g.types == (PLANE, MESH):
-    fn = jax.vmap(_plane_mesh_one)
-    return fn(verts, d.geom_xpos[g.geom1], d.geom_xmat[g.geom1],
-              d.geom_xpos[g.geom2], d.geom_xmat[g.geom2])
-  fn = jax.vmap(_sphere_mesh_one)
-  return fn(verts, d.geom_xpos[g.geom1], d.geom_xmat[g.geom1],
-            m.geom_size[g.geom1], d.geom_xpos[g.geom2],
-            d.geom_xmat[g.geom2])
+    return jax.vmap(_plane_mesh_one)(verts, p1, m1, p2, m2)
+  if g.types == (SPHERE, MESH):
+    return jax.vmap(_sphere_mesh_one)(
+        verts, p1, m1, m.geom_size[g.geom1], p2, m2)
+  if g.types == (CAPSULE, MESH):
+    return jax.vmap(_capsule_mesh_one)(
+        verts, m.mesh_hull[mid2], p1, m1, m.geom_size[g.geom1], p2, m2)
+  if g.types == (BOX, MESH):
+    return jax.vmap(_box_mesh_one)(
+        verts, m.mesh_hull[mid2], p1, m1, m.geom_size[g.geom1], p2, m2)
+  if g.types == (MESH, MESH):
+    mid1 = np.asarray(m.geom_dataid)[g.geom1]
+    return jax.vmap(_mesh_mesh_one)(
+        m.mesh_vert[mid1], m.mesh_hull[mid1], verts, m.mesh_hull[mid2],
+        p1, m1, p2, m2)
+  raise NotImplementedError(g.types)  # pragma: no cover
 
 
 def _collide_hfield_group(m, g, d):

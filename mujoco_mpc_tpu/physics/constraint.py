@@ -655,6 +655,184 @@ def efc_force_at(d: Data, qacc: jax.Array) -> jax.Array:
   return -g
 
 
+def _qcqp_clamp(a_c, w, jar, f0, rad, eps=1e-10):
+  """min 0.5 d^T A d + jar^T d  s.t.  (f0+d)^T W (f0+d) <= rad^2
+  (mju_QCQP semantics, any friction dimension count).
+
+  Unconstrained solve first; on violation, Newton on the scalar
+  multiplier lam of d(lam) = (A + lam W)^-1 (-jar - lam W f0)."""
+  dtype = jar.dtype
+  nf = jar.shape[0]
+  eye = jnp.eye(nf, dtype=dtype)
+  a_r = a_c + eps * eye
+
+  def dsolve(lam):
+    return jnp.linalg.solve(a_r + lam * jnp.diag(w),
+                            -jar - lam * w * f0)
+
+  d0 = dsolve(0.0)
+  r2 = rad * rad
+
+  def newton(lam, _):
+    f = f0 + dsolve(lam)
+    val = jnp.sum(w * f * f) - r2
+    # df/dlam = -(A + lam W)^-1 W f
+    dfd = -jnp.linalg.solve(a_r + lam * jnp.diag(w), w * f)
+    dval = 2.0 * jnp.sum(w * f * dfd)
+    lam_new = lam - val / jnp.where(jnp.abs(dval) < _MINVAL,
+                                    -1.0, dval)
+    return jnp.maximum(lam_new, 0.0), None
+
+  lam_star, _ = jax.lax.scan(newton, jnp.zeros((), dtype), None,
+                             length=12)
+  d_clamped = dsolve(lam_star)
+  f_uncon = f0 + d0
+  violated = jnp.sum(w * f_uncon * f_uncon) > r2
+  return jnp.where(violated, d_clamped, d0)
+
+
+def _noslip(m: Model, d: Data) -> Data:
+  """Noslip post-solver (mj_solNoSlip semantics, oracle-matched): for
+  each active contact, update friction forces by solving the
+  UNREGULARIZED block system A_ff delta = -jar_f (A = Jf M^-1 Jf^T — no
+  impedance R, so sticking contacts stop drifting), clamped onto the
+  friction cone sum_i (f_i/mu_i)^2 <= f_n^2; Gauss-Seidel over contacts,
+  opt.noslip_iterations sweeps. Pyramidal contacts run in net-tangential
+  variables y_a = mu_a (lam_a+ - lam_a-) with the oracle-verified decode
+  lam_a± = f_n/(2 namax) ± y_a/(2 mu_a). Contact friction only (dof
+  friction loss is not swept; none of the registered models combine
+  both). Verified against C MuJoCo at impratio=1 (the reference
+  noslip user, fingers/task.xml, leaves impratio default)."""
+  c = d.contact
+  if c is None or c.dist is None or c.dist.shape[0] == 0:
+    return d
+  k = c.dist.shape[0]
+  namax = c.namax
+  elliptic = c.cone == 1
+  nrow = (1 + namax) if elliptic else 2 * namax
+  nefc = d.efc_J.shape[0]
+  ncr = k * nrow
+  dtype = d.qpos.dtype
+
+  j_blk = d.efc_J[nefc - ncr:].reshape(k, nrow, m.nv)
+  aref_blk = d.efc_aref[nefc - ncr:].reshape(k, nrow)
+  force_blk = d.efc_force[nefc - ncr:].reshape(k, nrow)
+  gap_blk = d.efc_gate[nefc - ncr:].reshape(k, nrow)
+  mu_ax = c.friction[:, :namax]
+  mu_safe = jnp.maximum(mu_ax, _MINVAL)
+  axis_ok = (c.dim[:, None] >=
+             jnp.asarray(_AXIS_MIN_CONDIM[:namax])[None, :])
+
+  if elliptic:
+    jf = j_blk[:, 1:]
+    aref_f = aref_blk[:, 1:]
+    f_f = force_blk[:, 1:]
+    f_n = force_blk[:, 0]
+  else:
+    plus = j_blk[:, 0::2]
+    minus = j_blk[:, 1::2]
+    jf = (plus - minus) / (2.0 * mu_safe[..., None])
+    aref_f = (aref_blk[:, 0::2] - aref_blk[:, 1::2]) / (2.0 * mu_safe)
+    lam = force_blk.reshape(k, namax, 2)
+    f_f = mu_ax * (lam[..., 0] - lam[..., 1])
+    f_n = jnp.sum(lam, axis=(1, 2))
+    # per-axis bound |y_a| <= mu_a * s_a with the pair sum s_a FROZEN
+    # (oracle-verified: pair sums are preserved exactly by noslip)
+    pair_sum = lam[..., 0] + lam[..., 1]
+
+  if elliptic:
+    # only STICKING contacts are swept (oracle-verified: a gross-slip
+    # contact — middle zone — keeps its solved forces)
+    scale_zone = (mu_ax / jnp.maximum(c.mu_eff[:, None], _MINVAL)
+                  ) * axis_ok
+    jar_blk0 = jnp.einsum("krn,n->kr", j_blk, d.qacc) - aref_blk
+    s0 = jar_blk0[:, 1:] * scale_zone
+    t0 = jnp.sqrt(jnp.sum(s0 * s0, axis=1))
+    sticking = c.mu_eff * jar_blk0[:, 0] + t0 <= 0.0
+  else:
+    # pyramidal sliding freezes via the per-axis box clamp itself
+    sticking = jnp.ones((k,), bool)
+  active = (gap_blk[:, 0] < 0) & (f_n > _MINVAL) & sticking
+  ok = axis_ok & active[:, None]
+  jf = jf * ok[..., None]
+  w = jnp.where(ok, 1.0 / (mu_safe * mu_safe), 0.0)
+
+  # M^-1 Jf^T per row, and per-contact A blocks (masked rows are zero;
+  # their A diagonal is identity-patched so the block solve stays SPD)
+  mjf = jax.vmap(lambda r: S.solve_m(m, d, r))(
+      jf.reshape(k * namax, m.nv)).reshape(k, namax, m.nv)
+  a_blk = jnp.einsum("kan,kbn->kab", jf, mjf)
+  eye = jnp.eye(namax, dtype=dtype)
+  a_blk = a_blk + (1.0 - ok.astype(dtype))[:, :, None] * eye[None]
+
+  nsweep = m.opt.noslip_iterations
+
+  if not elliptic:
+    ybound = mu_ax * pair_sum  # (k, namax)
+
+  def body(i, state):
+    qacc, f = state
+    ci = i % k
+    jf_c = jax.lax.dynamic_index_in_dim(jf, ci, keepdims=False)
+    mjf_c = jax.lax.dynamic_index_in_dim(mjf, ci, keepdims=False)
+    a_c = jax.lax.dynamic_index_in_dim(a_blk, ci, keepdims=False)
+    aref_c = jax.lax.dynamic_index_in_dim(aref_f, ci, keepdims=False)
+    f_c = jax.lax.dynamic_index_in_dim(f, ci, keepdims=False)
+    fn_c = jax.lax.dynamic_index_in_dim(f_n, ci, keepdims=False)
+    ok_c = jax.lax.dynamic_index_in_dim(ok, ci, keepdims=False)
+    if elliptic:
+      w_c = jax.lax.dynamic_index_in_dim(w, ci, keepdims=False)
+      jar_c = (jf_c @ qacc - aref_c) * ok_c
+      delta = _qcqp_clamp(a_c, w_c, jar_c, f_c, fn_c) * ok_c
+      qacc = qacc + jnp.einsum("an,a->n", mjf_c, delta)
+      f = jax.lax.dynamic_update_index_in_dim(f, f_c + delta, ci,
+                                              axis=0)
+      return qacc, f
+    # pyramidal: box-clamped coordinate descent over friction axes
+    # (|y_a| <= mu_a * s_a); two inner passes per contact visit
+    yb_c = jax.lax.dynamic_index_in_dim(ybound, ci, keepdims=False)
+    for _ in range(2):
+      for a in range(namax):
+        jar_a = (jf_c[a] @ qacc - aref_c[a]) * ok_c[a]
+        step = -jar_a / jnp.maximum(a_c[a, a], _MINVAL)
+        y_new = jnp.clip(f_c[a] + step, -yb_c[a], yb_c[a])
+        dy = (y_new - f_c[a]) * ok_c[a]
+        qacc = qacc + mjf_c[a] * dy
+        f_c = f_c.at[a].add(dy)
+    f = jax.lax.dynamic_update_index_in_dim(f, f_c, ci, axis=0)
+    return qacc, f
+
+  qacc, f_f = jax.lax.fori_loop(0, nsweep * k, body, (d.qacc, f_f))
+
+  # write the updated friction forces back into the efc tail
+  if elliptic:
+    force_new = jnp.concatenate([force_blk[:, :1], f_f], axis=1)
+  else:
+    # decode with the pair sums preserved: lam_a± = s_a/2 ± y_a/(2 mu_a)
+    # (mju_decodePyramid semantics, oracle-verified)
+    lam_p = 0.5 * pair_sum + f_f / (2.0 * mu_safe)
+    lam_m = 0.5 * pair_sum - f_f / (2.0 * mu_safe)
+    lam_new = jnp.stack([lam_p, lam_m], axis=2)
+    # keep untouched rows (inactive contact / masked axis) as solved
+    lam_old = force_blk.reshape(k, namax, 2)
+    lam_new = jnp.where(ok[..., None], lam_new, lam_old)
+    force_new = lam_new.reshape(k, nrow)
+
+  efc_force = d.efc_force.at[nefc - ncr:].set(force_new.reshape(-1))
+  qfrc = d.efc_J.T @ efc_force
+  d = d.replace(qacc=qacc, efc_force=efc_force, qfrc_constraint=qfrc)
+  # refresh the decoded contact-frame forces
+  if elliptic:
+    d = d.replace(contact=c.replace(force=force_new[:, :3]))
+  else:
+    lam2 = force_new.reshape(k, namax, 2)
+    f_nn = jnp.sum(lam2, axis=(1, 2))
+    f_t = mu_ax[:, :2] * (lam2[:, :2, 0] - lam2[:, :2, 1])
+    d = d.replace(contact=c.replace(
+        force=jnp.concatenate([f_nn[:, None], f_t], axis=1)))
+  return d
+
+
 def solve(m: Model, d: Data) -> Data:
   """Primal Newton solve for constrained qacc."""
   iterations = m.opt.iterations
@@ -723,12 +901,18 @@ def solve(m: Model, d: Data) -> Data:
     y = jax.scipy.linalg.solve_triangular(chol, grad, lower=True)
     p = -jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
 
-    # exact-ish line search: 1-D Newton on piecewise-quadratic phi(t)
+    # Safeguarded exact line search on the piecewise-quadratic phi(t).
+    # phi is CONVEX, so phi'(t) is monotone nondecreasing: bracket the
+    # root of phi' (expansion doublings), then Newton steps clipped into
+    # the bracket with bisection fallback — globally convergent, unlike
+    # bare 1-D Newton which oscillates between curvature zones on hard
+    # states (deep penetration + impratio-stiffened elliptic cones) and
+    # can step UPHILL, exploding the outer iteration.
     jp = j @ p
     pmp = p @ (mass @ p)
     pma = p @ (mass @ (a - a0))
 
-    def ls_body(_, t):
+    def dphi_at(t):
       jart = jar + t * jp
       gt, ht, w_mid_t, gz_t, w_cone_t, cs_t = grad_weight(jart)
       dphi = pma + t * pmp + jnp.sum(gt * jp)
@@ -739,9 +923,46 @@ def solve(m: Model, d: Data) -> Data:
         up = jnp.einsum("kr,kr->k", cs_t, jp_blk)
         ddphi = ddphi + jnp.sum(w_mid_t * vp * vp) - \
             jnp.sum(w_cone_t * up * up)
-      return t - dphi / jnp.maximum(ddphi, _MINVAL)
+      return dphi, ddphi
 
-    t = jax.lax.fori_loop(0, ls_iterations, ls_body, jnp.ones((), dtype))
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+
+    def expand(_, st):
+      hi, d_hi = st
+      need = d_hi < 0.0
+      hi2 = jnp.where(need, hi * 4.0, hi)
+      d2 = jnp.where(need, dphi_at(hi2)[0], d_hi)
+      return hi2, d2
+
+    # hi covers t* unless phi' stays negative out to 4^5 = 1024 (then the
+    # final t is a large descent step anyway — still downhill).
+    hi0, dhi0 = jax.lax.fori_loop(0, 5, expand, (one, dphi_at(one)[0]))
+    dlo0 = dphi_at(zero)[0]
+
+    def ls_body(_, st):
+      lo, dlo, hi, dhi, t = st
+      dphi, ddphi = dphi_at(t)
+      neg = dphi < 0.0
+      lo2 = jnp.where(neg, t, lo)
+      dlo2 = jnp.where(neg, dphi, dlo)
+      hi2 = jnp.where(neg, hi, t)
+      dhi2 = jnp.where(neg, dhi, dphi)
+      t_n = t - dphi / jnp.maximum(ddphi, _MINVAL)
+      # regula falsi on the bracket (phi' is monotone piecewise
+      # linear/smooth; the secant root is exact once both endpoints sit
+      # on the root's segment — far faster than midpoint bisection)
+      denom = dhi2 - dlo2
+      t_s = lo2 - dlo2 * (hi2 - lo2) / jnp.where(
+          jnp.abs(denom) < _MINVAL, one, denom)
+      t_s = jnp.clip(t_s, lo2, hi2)
+      inb = (t_n > lo2) & (t_n < hi2)
+      return lo2, dlo2, hi2, dhi2, jnp.where(inb, t_n, t_s)
+
+    lo, dlo, hi, dhi, t = jax.lax.fori_loop(
+        0, ls_iterations, ls_body,
+        (zero, dlo0, hi0, dhi0, jnp.minimum(one, hi0)))
+    t = jnp.clip(t, zero, hi)
     return a + t * p
 
   a = jax.lax.fori_loop(0, iterations, lambda _, a: newton_step(a), a0)
@@ -775,4 +996,6 @@ def solve(m: Model, d: Data) -> Data:
         f_t = mu * (lam[:, :2, 0] - lam[:, :2, 1])
         d = d.replace(contact=d.contact.replace(
             force=jnp.concatenate([f_n[:, None], f_t], axis=1)))
+  if m.opt.noslip_iterations > 0:
+    d = _noslip(m, d)
   return d

@@ -102,6 +102,37 @@ def _mesh_padded(mjm) -> np.ndarray:
   return out
 
 
+def _mesh_hull_padded(mjm) -> np.ndarray:
+  """Convex-hull face planes per mesh, padded to a common count.
+
+  Returns (nmesh, maxF, 4) rows [nx, ny, nz, d] with the hull interior
+  satisfying n.x <= d (mesh frame). MuJoCo collides the CONVEX HULL of
+  each mesh (its compiler runs qhull); these planes power the
+  vertex-vs-hull narrowphases for box-mesh / mesh-mesh.
+  """
+  if mjm.nmesh == 0:
+    return np.zeros((0, 1, 4))
+  from scipy.spatial import ConvexHull
+  planes = []
+  for i in range(mjm.nmesh):
+    adr, num = int(mjm.mesh_vertadr[i]), int(mjm.mesh_vertnum[i])
+    v = mjm.mesh_vert[adr:adr + num]
+    try:
+      hull = ConvexHull(v)
+      # equations: n.x + off <= 0  ->  n.x <= -off
+      eq = np.concatenate([hull.equations[:, :3],
+                           -hull.equations[:, 3:4]], axis=1)
+    except Exception:  # degenerate (flat/line) mesh: single plane
+      eq = np.array([[0.0, 0.0, 1.0, float(np.max(v[:, 2]))]])
+    planes.append(eq)
+  max_f = max(p.shape[0] for p in planes)
+  out = np.zeros((mjm.nmesh, max_f, 4))
+  for i, p in enumerate(planes):
+    out[i, :p.shape[0]] = p
+    out[i, p.shape[0]:] = p[0]
+  return out
+
+
 def _hfield_padded(mjm) -> np.ndarray:
   """Stack heightfield elevation grids padded to a common shape."""
   if mjm.nhfield == 0:
@@ -133,6 +164,8 @@ class Option:
   # fixed-iteration Newton constraint solver (TPU: static trip counts)
   iterations: int = struct.field(pytree_node=False, default=6)
   ls_iterations: int = struct.field(pytree_node=False, default=4)
+  # noslip post-solver sweeps over contact friction (0 = off)
+  noslip_iterations: int = struct.field(pytree_node=False, default=0)
   # static cap on simultaneous contacts (top-k deepest kept); settable per
   # model via the `max_contact_points` custom numeric
   max_contact_points: int = struct.field(pytree_node=False, default=32)
@@ -275,6 +308,9 @@ class Model:
   # mesh assets: vertices in geom frame, padded to a common count (the
   # pad replicates vertex 0 so reductions stay correct)
   mesh_vert: jax.Array = None         # (nmesh, maxV, 3)
+  # convex-hull face planes [n, d] per mesh (n.x <= d, mesh frame),
+  # padded by replicating plane 0 (vertex-vs-hull narrowphases)
+  mesh_hull: jax.Array = None         # (nmesh, maxF, 4)
   site_pos: jax.Array = None
   site_quat: jax.Array = None
   actuator_gainprm: jax.Array = None
@@ -548,6 +584,7 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32,
       # handful of iterations on robotics-scale systems
       iterations=solver_iters,
       ls_iterations=solver_ls_iters,
+      noslip_iterations=int(mjm.opt.noslip_iterations),
       max_contact_points=max_contacts,
       tolerance=float(mjm.opt.tolerance),
       disableflags=int(mjm.opt.disableflags),
@@ -660,6 +697,7 @@ def put_model(mjm: "mujoco.MjModel", dtype=jnp.float32,
       hfield_ncol=tuple(int(x) for x in mjm.hfield_ncol),
       geom_dataid=_np(mjm.geom_dataid).astype(np.int32),
       mesh_vert=dev(_mesh_padded(mjm)),
+      mesh_hull=dev(_mesh_hull_padded(mjm)),
       site_pos=dev(mjm.site_pos),
       site_quat=dev(mjm.site_quat),
       actuator_gainprm=dev(mjm.actuator_gainprm),

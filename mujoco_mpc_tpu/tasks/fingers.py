@@ -35,7 +35,7 @@ def _finger(name, x):
 
 _XML = f"""
 <mujoco model="Fingers">
-  <option timestep="0.004" cone="elliptic"/>
+  <option timestep="0.004" cone="elliptic" noslip_iterations="5"/>
   <custom>
     <numeric name="agent_planner" data="0" />
     <numeric name="agent_horizon" data="0.5" />

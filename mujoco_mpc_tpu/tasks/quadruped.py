@@ -114,7 +114,8 @@ def _leg(name, x, y):
             <geom name="calf_{name}_geom" type="capsule"
                   fromto="0 0 0 0 0 -0.2" size="0.015" mass="0.2"/>
             <geom name="foot_{name}" type="sphere" pos="0 0 -0.2"
-                  size="0.02" mass="0.05" friction="1.0 0.02 0.0001"/>
+                  size="0.02" mass="0.05" priority="1" condim="6"
+                  friction="0.8 0.02 0.01"/>
           </body>
         </body>
       </body>"""
@@ -131,7 +132,7 @@ _ACT = "".join(
 
 _XML = f"""
 <mujoco model="Quadruped">
-  <option timestep="0.005"/>
+  <option timestep="0.005" cone="elliptic" impratio="10"/>
   <custom>
     <text name="task_transition" data="Quadruped|Biped|Walk|Scramble|Flip"/>
     <numeric name="agent_planner" data="0" />

@@ -199,21 +199,20 @@ def test_unsupported_geom_pair_raises_loudly():
   geom names, not silently drop (VERDICT r3 weak #2)."""
   xml = """
   <mujoco>
-    <asset>
-      <mesh name="tet" vertex="0 0 0  1 0 0  0 1 0  0 0 1"/>
-    </asset>
     <worldbody>
       <body pos="0 0 1"><freejoint/>
-        <geom name="mesh_a" type="mesh" mesh="tet" mass="0.1"/>
+        <geom name="ell_a" type="ellipsoid" size="0.1 0.2 0.3"
+              mass="0.1"/>
       </body>
       <body pos="0 0 2"><freejoint/>
-        <geom name="mesh_b" type="mesh" mesh="tet" mass="0.1"/>
+        <geom name="ell_b" type="ellipsoid" size="0.1 0.2 0.3"
+              mass="0.1"/>
       </body>
     </worldbody>
   </mujoco>
   """
   mjm = mujoco.MjModel.from_xml_string(xml)
-  with pytest.raises(ValueError, match="mesh_a.*mesh_b|mesh_b.*mesh_a"):
+  with pytest.raises(ValueError, match="ell_a.*ell_b|ell_b.*ell_a"):
     M.put_model(mjm)
   # explicit escape hatch accepts the reduced contact set
   m = M.put_model(mjm, allow_reduced_contacts=True)
@@ -227,3 +226,63 @@ def test_unsupported_condim_raises_loudly():
   with pytest.raises(ValueError, match="condim"):
     M.put_model(mjm)
   assert M.put_model(mjm, allow_reduced_contacts=True) is not None
+
+
+@pytest.mark.parametrize("cone", ["pyramidal", "elliptic"])
+@pytest.mark.parametrize("condim", [3, 4, 6])
+def test_noslip_matches_oracle(cone, condim):
+  """Noslip post-solver parity (mj_solNoSlip): sticking contacts stop
+  drifting (friction re-solved without impedance regularization),
+  sliding contacts keep their solved forces, pyramid pair sums are
+  preserved. The reference's Fingers task runs noslip_iterations=5
+  (/root/reference/mjpc/tasks/fingers/task.xml:4)."""
+  xml = BALL_XML.format(cone=cone, condim=condim, impratio=1.0).replace(
+      '<option ', '<option noslip_iterations="5" ')
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = M.put_model(mjm)
+  assert m.opt.noslip_iterations == 5
+  fwd = jax.jit(lambda d: F.forward(m, d))
+  for vel in ((0.05, 0.02, -0.01, 0.1, 0.0, 0.3),   # sticking
+              (2.0, 0.0, -0.01, 0.0, 0.0, 5.0)):    # gross slip
+    mujoco.mj_resetData(mjm, mjd)
+    mjd.qvel[:] = np.array(vel)
+    mujoco.mj_forward(mjm, mjd)
+    d = M.make_data(m)
+    d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel))
+    d = fwd(d)
+    scale = max(1.0, float(np.max(np.abs(mjd.qacc))))
+    err = float(np.max(np.abs(np.asarray(d.qacc) - mjd.qacc))) / scale
+    assert err < 2e-3, (cone, condim, vel, err)
+
+
+def test_noslip_two_contacts_gauss_seidel():
+  """Two balls, one sticking one spinning: the sequential contact sweep
+  must match MuJoCo's."""
+  xml = """
+  <mujoco>
+    <option timestep="0.002" cone="elliptic" jacobian="dense"
+            noslip_iterations="5"/>
+    <worldbody>
+      <geom name="floor" type="plane" size="1 1 .1" condim="6"
+            friction="0.6 0.01 0.002"/>
+      <body pos="0 0 0.0495"><freejoint/>
+        <geom type="sphere" size="0.05" condim="6"
+              friction="0.6 0.01 0.002" mass="0.2"/></body>
+      <body pos="0.15 0 0.0495"><freejoint/>
+        <geom type="sphere" size="0.05" condim="6"
+              friction="0.6 0.01 0.002" mass="0.2"/></body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mjd.qvel[:6] = [0.05, 0.02, -0.01, 0.1, 0.0, 0.3]
+  mjd.qvel[6:] = [0.03, -0.01, -0.01, 0.0, 0.2, 0.1]
+  mujoco.mj_forward(mjm, mjd)
+  m = M.put_model(mjm)
+  d = M.make_data(m)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel))
+  d = jax.jit(lambda d: F.forward(m, d))(d)
+  scale = max(1.0, float(np.max(np.abs(mjd.qacc))))
+  err = float(np.max(np.abs(np.asarray(d.qacc) - mjd.qacc))) / scale
+  assert err < 2e-3, err
