@@ -1025,7 +1025,13 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
              for j in range(nv)]) for i in range(nv)])
         pstep = -lm.chol_solve_packed(hfull, ma + grad)
         if n_ls > 0:
-          # exact-ish line search along pstep (piecewise-quadratic phi)
+          # Safeguarded exact line search along pstep (piecewise-
+          # quadratic convex phi, so phi' is monotone): bracket phi''s
+          # root, Newton steps clipped into the bracket with regula-
+          # falsi fallback — mirrors physics/constraint.solve. Bare 1-D
+          # Newton oscillates between activation segments on hard
+          # states (deep penetration) and can step uphill, exploding
+          # the candidate rollout.
           mp = jnp.sum(M * pstep[None, :, :], axis=1)
           pmp = jnp.sum(pstep * mp, axis=0)                  # (K,)
           pma = jnp.sum(pstep * ma, axis=0)
@@ -1033,8 +1039,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
           for sup, jg, arefg, dcoefg in packed:
             psg = jnp.stack([pstep[i] for i in sup])
             jpss.append(jnp.sum(jg * psg[None, :, :], axis=1))
-          tls = jnp.ones_like(like)
-          for _ in range(n_ls):
+
+          def dphi_lane(tls):
             dphi = pma + tls * pmp
             ddphi = pmp
             for (sup, jg, arefg, dcoefg), jar_g, jps_g in zip(
@@ -1043,7 +1049,52 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
               act2 = dcoefg * (jart < 0)
               dphi = dphi + jnp.sum(act2 * jart * jps_g, axis=0)
               ddphi = ddphi + jnp.sum(act2 * jps_g * jps_g, axis=0)
-            tls = tls - dphi / jnp.maximum(ddphi, 1e-12)
+            return dphi, ddphi
+
+          # Zero-extra-eval safeguard: the bracket is built from the
+          # n_ls Newton evaluations themselves (no expansion phase, so
+          # easy candidates follow the exact pure-Newton iterate
+          # sequence at the exact op count). _BIG is the "no upper
+          # bracket yet" sentinel; until one exists, Newton growth is
+          # capped geometrically (4x) per iteration.
+          _BIG = 1e6
+          one = jnp.ones_like(like)
+          zero = jnp.zeros_like(like)
+          # dphi(0) reuses the activations already computed at a (t=0)
+          dlo = pma + zero
+          for (sup, jg, arefg, dcoefg), jar_g, jps_g in zip(
+              packed, jars, jpss):
+            act0 = dcoefg * (jar_g < 0)
+            dlo = dlo + jnp.sum(act0 * jar_g * jps_g, axis=0)
+          lo = zero
+          hi = jnp.full_like(like, _BIG)
+          dhi = jnp.zeros_like(like)
+          tls = one
+          for _ in range(n_ls):
+            dphi, ddphi = dphi_lane(tls)
+            neg = dphi < 0
+            lo = jnp.where(neg, tls, lo)
+            dlo = jnp.where(neg, dphi, dlo)
+            hi = jnp.where(neg, hi, tls)
+            dhi = jnp.where(neg, dhi, dphi)
+            t_n = tls - dphi / jnp.maximum(ddphi, 1e-12)
+            # fallback when Newton exits the bracket: regula falsi on a
+            # real bracket; geometric growth while unbracketed above
+            denom = dhi - dlo
+            t_s = lo - dlo * (hi - lo) / jnp.where(
+                jnp.abs(denom) < 1e-12, 1.0, denom)
+            t_s = jnp.clip(t_s, lo, hi)
+            inb = (t_n > lo) & (t_n < hi)
+            raw = jnp.where(inb, t_n, t_s)
+            # while no upper bracket exists, clamp ANY step into
+            # [lo, 4*t]: geometric growth only — a wild Newton jump
+            # (the oscillation/explosion mode) cannot fire unbracketed
+            cap = 4.0 * jnp.maximum(tls, one)
+            unbracketed = hi >= _BIG
+            tls = jnp.where(unbracketed,
+                            jnp.clip(jnp.where(inb, t_n, tls), lo, cap),
+                            raw)
+          tls = jnp.clip(tls, zero, hi)
           a = a + tls[None, :] * pstep
         else:
           a = a + pstep
