@@ -1,6 +1,7 @@
-"""Benchmark: candidate rollouts/s of the predictive-sampling planner.
+"""Benchmark: the full BASELINE.md table, one JSON line per config.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Every line is {"metric", "value", "unit", "vs_baseline", ...}. The
+FLAGSHIP row prints LAST (the driver parses the final line):
 
 Flagship workload (BASELINE.md config 3): Quadruped Flat, predictive
 sampling, 4096 candidate rollouts, horizon 0.35 s @ 10 ms. Baseline =
@@ -9,7 +10,18 @@ ideal 32-thread pool (generous to the reference CPU planner,
 mjpc/testspeed.cc semantics), converted to candidate rollouts/s at the
 same horizon. The BASELINE.md target is >= 10x that number on TPU.
 
-Smaller dry-run knobs via env: BENCH_K (default 4096), BENCH_ITERS (50).
+The preceding rows driver-verify the REST of the BASELINE table
+(configs 1, 2a, 2b, 4, 5 + estimator/Direct real-time budgets —
+reference one-table discipline: mjpc/testspeed.cc:114-123). Their
+vs_baseline is measured against the 10 ms per-step planning budget
+(BASELINE.md), value >= 1 meaning within budget; each row names its
+baseline in "baseline". Table rows are individually guarded: a row
+failure prints an error row and never blocks the flagship.
+
+Env knobs: BENCH_K (default 4096), BENCH_ITERS (50), BENCH_TABLE=0 to
+print only the flagship, BENCH_TABLE_BUDGET_S (default 1500) soft
+deadline after which remaining table rows are skipped (printed as
+skipped) so the flagship always runs.
 """
 
 import json
@@ -245,40 +257,162 @@ def scaling_main():
   print(json.dumps(out))
 
 
-def main():
-  from mujoco_mpc_tpu.tasks import registry
+def _slug(name):
+  return name.lower().replace(" ", "_")
 
+
+def emit(row):
+  print(json.dumps(row), flush=True)
+
+
+PLAN_BUDGET_MS = 10.0  # BASELINE.md: <10 ms per-step planning budget
+
+
+def _budget_row(metric, ms, extra=None):
+  row = {
+      "metric": metric,
+      "value": round(ms, 3),
+      "unit": "ms",
+      # >1 = within the 10 ms real-time planning budget
+      "vs_baseline": round(PLAN_BUDGET_MS / ms, 3),
+      "baseline": "10ms_realtime_budget",
+  }
+  if extra:
+    row.update(extra)
+  return row
+
+
+def full_table(deadline):
+  """Driver-captured rows for every non-flagship BASELINE config
+  (VERDICT r4 #3). Each row is guarded; each names its baseline."""
+  sys.path.insert(0, os.path.join(os.path.dirname(
+      os.path.abspath(__file__)), "scripts"))
+  import bench_configs as bc
+
+  def sampling_row(name, k, horizon):
+    r = _quiet(bc.bench_sampling)(name, k=k, horizon=horizon)
+    ms = r["ms_per_iteration"]
+    return _budget_row(
+        f"sampling_ms_per_iteration_{_slug(name)}_h{horizon}_k{k}", ms,
+        {"rollouts_per_s": r["rollouts_per_s"], "path": r["path"]})
+
+  def ilqg_row(name, horizon):
+    r = _quiet(bc.bench_ilqg)(name, horizon=horizon)
+    return _budget_row(
+        f"ilqg_ms_per_iteration_{_slug(name)}_h{horizon}",
+        r["ms_per_iteration"])
+
+  def estimator_rows(name):
+    rows = []
+    for r in _quiet(bc.bench_estimators)(name):
+      rows.append(_budget_row(
+          f"{r['estimator'].lower()}_ms_per_update_{_slug(name)}",
+          r["ms_per_update"]))
+    return rows
+
+  def batch_row(name, cfg_len):
+    r = _quiet(bc.bench_batch)(name, cfg_len=cfg_len)
+    return _budget_row(
+        f"batch_ms_per_update_{_slug(name)}_cfg{r['cfg_len']}",
+        r["ms_per_update"])
+
+  def direct_row(name, horizon):
+    r = _quiet(bc.bench_direct)(name, horizon=horizon)
+    # a Direct solve is an offline smoother pass, not a per-step budget;
+    # vs_baseline still reports against 10 ms for one consistent scale
+    return _budget_row(
+        f"direct_ms_per_solve_{_slug(name)}_h{horizon}",
+        r["ms_per_solve"], {"gn_iterations": r["gn_iterations"]})
+
+  jobs = [
+      ("config1_cartpole_ps",
+       lambda: [sampling_row("Cartpole", k=128, horizon=100)]),
+      ("config2a_swimmer_ilqg", lambda: [ilqg_row("Swimmer", 40)]),
+      ("config2b_walker_ilqg", lambda: [ilqg_row("Walker", 32)]),
+      ("config4_humanoid_track",
+       lambda: [sampling_row("Humanoid Track", k=512, horizon=25)]),
+      ("config5_rubik",
+       lambda: [sampling_row("Rubik", k=512, horizon=16)]),
+      ("testspeed_cube_solving",
+       lambda: [sampling_row("Cube Solving", k=512, horizon=16)]),
+      ("estimators_quadruped",
+       lambda: estimator_rows("Quadruped Flat")),
+      ("batch_cartpole_cfg32", lambda: [batch_row("Cartpole", 32)]),
+      ("direct_cartpole_h32", lambda: [direct_row("Cartpole", 32)]),
+  ]
+  for label, fn in jobs:
+    if time.monotonic() > deadline:
+      emit({"metric": label, "skipped": "bench table soft deadline hit "
+            "(BENCH_TABLE_BUDGET_S); flagship still runs"})
+      continue
+    try:
+      for row in fn():
+        emit(row)
+    except Exception as e:  # noqa: BLE001 — a row must not block the table
+      emit({"metric": label, "error": type(e).__name__,
+            "detail": str(e)[:300]})
+
+
+def _quiet(fn):
+  """Call a bench_configs helper with its own stdout print suppressed
+  (bench.py re-emits in the metric/value/vs_baseline schema)."""
+  import contextlib
+  import io
+
+  def wrapped(*a, **kw):
+    with contextlib.redirect_stdout(io.StringIO()):
+      return fn(*a, **kw)
+  return wrapped
+
+
+def flagship():
+  from mujoco_mpc_tpu.tasks import registry
+  task = registry.get_task("Quadruped Flat")
+  horizon = 36  # 0.35 s @ 0.01 s agent timestep
+  k = int(os.environ.get("BENCH_K", "4096"))
+  iters = int(os.environ.get("BENCH_ITERS", "50"))
+  value, per_iter = measure_tpu_rollouts(task, k, horizon, iters)
+  baseline = cpu_baseline_rollouts_per_s(horizon)
+  emit({
+      "metric": f"sampling_rollouts_per_s_quadruped_h35_k{k}",
+      "value": round(value, 1),
+      "unit": "rollouts/s",
+      "vs_baseline": round(value / baseline, 3),
+  })
+
+
+def run_benches():
+  if os.environ.get("BENCH_TABLE", "1") != "0":
+    budget = float(os.environ.get("BENCH_TABLE_BUDGET_S", "1500"))
+    full_table(time.monotonic() + budget)
+  flagship()  # LAST: the driver parses the final line
+
+
+def main():
   if os.environ.get("BENCH_SCALING"):
     scaling_main()
     return
 
   acquire_backend()
 
-  task = registry.get_task("Quadruped Flat")
-  horizon = 36  # 0.35 s @ 0.01 s agent timestep
-  k = int(os.environ.get("BENCH_K", "4096"))
-  iters = int(os.environ.get("BENCH_ITERS", "50"))
-
-  # One retry on a transient device failure mid-measurement: the compiled
-  # program is in the persistent cache, so a retry is cheap.
+  # A transient device failure mid-measurement cannot be recovered
+  # in-process (the cached backend stays failed and re-probing while this
+  # process holds the TPU violates the one-process rule — ADVICE r4):
+  # re-exec the whole benchmark in a FRESH process instead. The
+  # persistent compile cache makes the re-run cheap.
   try:
-    value, per_iter = measure_tpu_rollouts(task, k, horizon, iters)
+    run_benches()
   except Exception as e:  # noqa: BLE001
     msg = str(e)
-    if "UNAVAILABLE" in msg or "backend" in msg.lower():
-      time.sleep(30.0)
-      acquire_backend()
-      value, per_iter = measure_tpu_rollouts(task, k, horizon, iters)
-    else:
+    transient = "UNAVAILABLE" in msg or "backend" in msg.lower()
+    if not transient or os.environ.get("BENCH_REEXEC"):
       raise
-  baseline = cpu_baseline_rollouts_per_s(horizon)
-
-  print(json.dumps({
-      "metric": f"sampling_rollouts_per_s_quadruped_h35_k{k}",
-      "value": round(value, 1),
-      "unit": "rollouts/s",
-      "vs_baseline": round(value / baseline, 3),
-  }))
+    time.sleep(30.0)
+    import subprocess
+    env = dict(os.environ, BENCH_REEXEC="1")
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env)
+    sys.exit(proc.returncode)
 
 
 if __name__ == "__main__":

@@ -91,9 +91,10 @@ class Batch(base.Estimator):
     # the fused _step pins direct.parameters to param_initial each
     # update; a param_update-configured Direct would be silently
     # disabled, so refuse it up front (ADVICE r3)
-    assert getattr(self.direct, "nparam", 0) == 0, (
-        "Batch filtering does not support joint parameter estimation; "
-        "run a standalone Direct optimizer with param_update instead")
+    if getattr(self.direct, "nparam", 0) != 0:
+      raise ValueError(
+          "Batch filtering does not support joint parameter estimation; "
+          "run a standalone Direct optimizer with param_update instead")
     self._fwd = jax.jit(lambda d: F.forward(self.m, d))
     # one jitted program for the per-update prep (predict + actuation
     # force) and one for the FD velocity — the eager qpos_add/qpos_diff

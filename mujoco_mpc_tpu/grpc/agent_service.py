@@ -81,16 +81,39 @@ class AgentServicer:
     return agent_pb2.GetStateResponse(state=state)
 
   def SetState(self, request, context):
+    """Set (a subset of) the physics state. Every sized field is
+    validated BEFORE any is applied and bad sizes abort with
+    INVALID_ARGUMENT (reference grpc_agent_util.cc SetState size checks
+    return InvalidArgument; explicit checks, not asserts — python -O
+    must not strip validation)."""
     import jax.numpy as jnp
     agent = self._require()
     s = request.state
     d = agent.data
+
+    def check(name, got, want):
+      if got != want:
+        context.abort(
+            grpc.StatusCode.INVALID_ARGUMENT,
+            f"{name} size mismatch: got {got}, expected {want}.")
+
+    if s.qpos:
+      check("qpos", len(s.qpos), int(agent.m.nq))
+    if s.qvel:
+      check("qvel", len(s.qvel), int(agent.m.nv))
+    if s.act:
+      check("act", len(s.act), int(d.act.shape[0]))
+    if s.mocap_pos:
+      check("mocap_pos", len(s.mocap_pos), 3 * int(d.mocap_pos.shape[0]))
+    if s.mocap_quat:
+      check("mocap_quat", len(s.mocap_quat), 4 * int(d.mocap_quat.shape[0]))
+    if s.userdata:
+      check("userdata", len(s.userdata), int(d.userdata.shape[0]))
+
     dtype = d.qpos.dtype
     if s.qpos:
-      assert len(s.qpos) == agent.m.nq, "qpos size mismatch"
       d = d.replace(qpos=jnp.asarray(np.array(s.qpos), dtype))
     if s.qvel:
-      assert len(s.qvel) == agent.m.nv, "qvel size mismatch"
       d = d.replace(qvel=jnp.asarray(np.array(s.qvel), dtype))
     if s.act:
       d = d.replace(act=jnp.asarray(np.array(s.act), dtype))

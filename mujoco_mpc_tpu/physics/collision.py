@@ -130,10 +130,17 @@ def make_collision_pairs(mjm, allow_unsupported: bool = False
   design, physics/sensors.py). Pass allow_unsupported=True (via
   put_model(allow_reduced_contacts=True)) to knowingly drop them.
   """
+  import mujoco as _mj
   ngeom = mjm.ngeom
   pairs: dict = {}
   pair_meta: dict = {}
   unsupported: list = []
+
+  # a model that globally disables contact (mjDSBL_CONTACT — e.g. the
+  # reference's swimmer task.xml) never collides any pair, so there is
+  # nothing to drop and nothing to refuse: enumerate no pairs
+  if mjm.opt.disableflags & _mj.mjtDisableBit.mjDSBL_CONTACT:
+    ngeom = 0
 
   # excluded body pairs
   excluded = set()
@@ -180,8 +187,9 @@ def make_collision_pairs(mjm, allow_unsupported: bool = False
         continue
       add(g1, g2)
 
-  # explicit <pair> entries (override dynamic params)
-  for i in range(mjm.npair):
+  # explicit <pair> entries (override dynamic params); also dead when
+  # contact is globally disabled (ngeom zeroed above)
+  for i in range(mjm.npair if ngeom else 0):
     add(int(mjm.pair_geom1[i]), int(mjm.pair_geom2[i]), explicit_pair=i)
 
   if unsupported and not allow_unsupported:

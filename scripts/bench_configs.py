@@ -71,11 +71,13 @@ def bench_sampling(name, k, horizon, lane=True):
     return pol[0].values
 
   t = steady_state(step)
-  print(json.dumps({
+  row = {
       "config": name, "planner": "sampling",
       "k": k, "horizon": horizon, "path": "lane" if lane else "xla",
       "ms_per_iteration": round(1e3 * t, 2),
-      "rollouts_per_s": round(k / t, 1)}), flush=True)
+      "rollouts_per_s": round(k / t, 1)}
+  print(json.dumps(row), flush=True)
+  return row
 
 
 def bench_cem(name, k, horizon):
@@ -93,11 +95,13 @@ def bench_cem(name, k, horizon):
     return planner.state.policy.values
 
   t = steady_state(step)
-  print(json.dumps({
+  row = {
       "config": name, "planner": "cross_entropy", "path": "lane",
       "k": k, "horizon": horizon,
       "ms_per_iteration": round(1e3 * t, 2),
-      "rollouts_per_s": round(k / t, 1)}), flush=True)
+      "rollouts_per_s": round(k / t, 1)}
+  print(json.dumps(row), flush=True)
+  return row
 
 
 def bench_ilqg(name, horizon):
@@ -113,10 +117,12 @@ def bench_ilqg(name, horizon):
     return info["best_return"]
 
   t = steady_state(step, iters=10)
-  print(json.dumps({
+  row = {
       "config": name, "planner": "ilqg", "horizon": horizon,
       "ms_per_iteration": round(1e3 * t, 2),
-      "solves_per_s": round(1.0 / t, 1)}), flush=True)
+      "solves_per_s": round(1.0 / t, 1)}
+  print(json.dumps(row), flush=True)
+  return row
 
 
 def bench_planner_family(name):
@@ -135,6 +141,7 @@ def bench_planner_family(name):
        lambda: sample_gradient.SampleGradientPlanner(task, lane=True)),
       ("Gradient", lambda: gradient.GradientPlanner(task)),
   ]
+  rows = []
   for pname, ctor in planners:
     planner = ctor()
     key = [jax.random.PRNGKey(0)]
@@ -145,10 +152,12 @@ def bench_planner_family(name):
       return info.get("best_return") if isinstance(info, dict) else None
 
     t = steady_state(step, iters=5)
-    print(json.dumps({
+    rows.append({
         "config": name, "planner": pname,
         "ms_per_iteration": round(1e3 * t, 2),
-        "solves_per_s": round(1.0 / t, 1)}), flush=True)
+        "solves_per_s": round(1.0 / t, 1)})
+    print(json.dumps(rows[-1]), flush=True)
+  return rows
 
 
 def bench_estimators(name):
@@ -158,14 +167,17 @@ def bench_estimators(name):
   from mujoco_mpc_tpu.estimators import kalman, unscented
   task = registry.get_task(name)
   ctrl = jnp.zeros((int(task.model.nu),))
+  rows = []
   for cls, label in ((kalman.Kalman, "EKF"), (unscented.Unscented, "UKF")):
     est = cls(task)
     sensor = jnp.zeros((est.ns,))
     t = steady_state(lambda: est.update(ctrl, sensor), iters=20)
-    print(json.dumps({
+    rows.append({
         "config": name, "estimator": label,
         "ms_per_update": round(1e3 * t, 3),
-        "updates_per_s": round(1.0 / t, 1)}), flush=True)
+        "updates_per_s": round(1.0 / t, 1)})
+    print(json.dumps(rows[-1]), flush=True)
+  return rows
 
 
 def bench_batch(name, cfg_len=None):
@@ -181,10 +193,12 @@ def bench_batch(name, cfg_len=None):
   for _ in range(est.cfg_len + 2):
     est.update(ctrl, sensor)
   t = steady_state(lambda: est.update(ctrl, sensor), iters=10)
-  print(json.dumps({
+  row = {
       "config": name, "estimator": "Batch", "cfg_len": est.cfg_len,
       "ms_per_update": round(1e3 * t, 2),
-      "updates_per_s": round(1.0 / t, 1)}), flush=True)
+      "updates_per_s": round(1.0 / t, 1)}
+  print(json.dumps(row), flush=True)
+  return row
 
 
 def bench_direct(name, horizon):
@@ -214,11 +228,13 @@ def bench_direct(name, horizon):
     d = step(d)
   direct.set_weights(sensor=1e4, force=1.0)
   t_s = steady_state(lambda: direct.optimize(), iters=3)
-  print(json.dumps({
+  row = {
       "config": name, "optimizer": "direct", "horizon": horizon,
       "ms_per_solve": round(1e3 * t_s, 2),
       "solves_per_s": round(1.0 / t_s, 2),
-      "gn_iterations": direct.iterations}), flush=True)
+      "gn_iterations": direct.iterations}
+  print(json.dumps(row), flush=True)
+  return row
 
 
 def main():

@@ -36,9 +36,20 @@ def test_state_roundtrip(stub):
 
 
 def test_bad_state_size_rejected(stub):
-  state = agent_pb2.State(qpos=[1.0, 2.0, 3.0])
-  with pytest.raises(grpc.RpcError):
-    stub.SetState(agent_pb2.SetStateRequest(state=state))
+  """Wrong-size fields return INVALID_ARGUMENT (not a bare assert that
+  python -O would strip — reference grpc_agent_util.cc size checks
+  return InvalidArgument), and the server survives."""
+  for bad in (agent_pb2.State(qpos=[1.0, 2.0, 3.0]),
+              agent_pb2.State(qvel=[1.0]),
+              agent_pb2.State(act=[0.5]),
+              agent_pb2.State(userdata=[0.0] * 99)):
+    with pytest.raises(grpc.RpcError) as e:
+      stub.SetState(agent_pb2.SetStateRequest(state=bad))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT, bad
+    assert "size mismatch" in e.value.details()
+  # a valid call still works afterwards
+  stub.SetState(agent_pb2.SetStateRequest(
+      state=agent_pb2.State(qpos=[0.0, 0.1])))
 
 
 def test_planner_improves_cost(stub):
