@@ -31,6 +31,9 @@ class LiveLoop:
     self.agent = agent
     self.real_time_speed = real_time_speed
     self.steps_per_plan = steps_per_plan
+    # paused: stop stepping/planning but keep draining RPC/viewer jobs
+    # (reference simulate.cc run/pause toggle)
+    self.paused = False
     self._jobs: "queue.Queue[tuple[Callable, threading.Event, list]]" = \
         queue.Queue()
     self._stop = threading.Event()
@@ -75,6 +78,9 @@ class LiveLoop:
         done.set()
       if self._stop.is_set():
         break
+      if self.paused:
+        time.sleep(0.01)
+        continue
       if n % self.steps_per_plan == 0:
         try:
           self.agent.plan_iteration()
@@ -127,9 +133,13 @@ class UiAgentServicer(AgentServicer):
   ui_agent_service synchronization model (ui_agent_service.cc:72-120).
   """
 
-  def __init__(self):
+  def __init__(self, viewer_port=None):
     super().__init__()
     self.loop = None
+    self.viewer = None
+    # viewer_port is not None -> start the live browser viewer
+    # (grpc/live_viewer.py) once an agent exists; 0 picks a free port
+    self.viewer_port = viewer_port
 
   def Init(self, request, context):
     resp = super().Init(request, context)
@@ -139,6 +149,10 @@ class UiAgentServicer(AgentServicer):
     self.agent.step_env()
     self.agent.reset()
     self.loop = LiveLoop(self.agent, real_time_speed=speed)
+    if self.viewer_port is not None and self.viewer is None:
+      from mujoco_mpc_tpu.grpc.live_viewer import LiveViewer
+      self.viewer = LiveViewer(self, port=self.viewer_port)
+      print(f"live viewer at {self.viewer.url()}", flush=True)
     return resp
 
   def on_physics(self, fn):
@@ -156,8 +170,8 @@ class UiAgentServicer(AgentServicer):
     return agent_pb2.StepResponse()
 
 
-def make_server(port: int = 0):
-  servicer = UiAgentServicer()
+def make_server(port: int = 0, viewer_port=None):
+  servicer = UiAgentServicer(viewer_port=viewer_port)
 
   def dispatch(name):
     method = getattr(servicer, name)
@@ -193,8 +207,12 @@ def main():
   import argparse
   p = argparse.ArgumentParser()
   p.add_argument("--mjpc_port", type=int, default=0)
+  p.add_argument("--viewer_port", type=int, default=None,
+                 help="start the live browser viewer on this port "
+                      "(0 = pick a free port)")
   args = p.parse_args()
-  server, _, port = make_server(args.mjpc_port)
+  server, _, port = make_server(args.mjpc_port,
+                                viewer_port=args.viewer_port)
   server.start()
   print(f"ui agent server listening on {port}", flush=True)
   server.wait_for_termination()
