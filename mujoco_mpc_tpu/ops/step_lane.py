@@ -11,13 +11,22 @@ The kernel is generated from the same static model metadata as the jnp
 pipeline (physics/*), using the component-tuple math in ops/lanemath.py.
 Correctness is checked against the jnp `F.step` path in tests.
 
-Contact class: the in-kernel solver models condim-3 PYRAMIDAL contacts —
-a deliberate PLANNING reduction even when the simulation model is
-condim-6 elliptic (the reference ships reduced plan models the same
-way; physics/constraint.py carries the full condim/cone fidelity for
-simulation, estimators, and Direct). The cost of the reduction is
-measured and published: BENCH_PATH=lane_full (all contact types, same
-kernel) vs the default feet-only run differ ~6% on the flagship
+Contact class: the in-kernel solver carries the model's OWN cone class
+and each pair's full condim (1/3/4/6). Pyramidal models get 2 one-sided
+rows per friction axis (incl. torsion/rolling); elliptic models
+(m.opt.cone == 1) get per-contact elliptic cone BLOCKS — normal +
+friction-axis rows solved with the exact middle-zone cone Hessian
+(physics/constraint.py _elliptic_terms semantics, incl. impratio), so
+the condim-6 manipulation tasks PLAN in the same contact class they
+simulate (the reference plans on the simulated model:
+/root/reference/mjpc/trajectory.cc:141-180 rollouts call mj_step with
+the task's cone=elliptic condim-6 XML, e.g. fingers/task.xml:4).
+Parity is pinned kernel-vs-pipeline in tests/test_lane_elliptic.py.
+The one remaining disclosed planning reduction: the noslip post-solver
+does not run in-kernel (Fingers sets noslip_iterations=5 for
+simulation). The cost of the contact-SET reduction is measured and
+published: BENCH_PATH=lane_full (all contact types, same kernel) vs
+the default feet-only run differ ~6% on the flagship
 (docs/BASELINE_PROTOCOL.md).
 """
 
@@ -127,6 +136,8 @@ def _static(m: Model):
       viscosity=float(g(m.opt.viscosity)),
       density=float(g(m.opt.density)),
       wind=[float(v) for v in g(m.opt.wind)],
+      impratio=float(g(m.opt.impratio)),
+      cone=int(m.opt.cone),
   )
 
 
@@ -628,6 +639,35 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       return aref, dcoef
 
     rows = []
+    # elliptic cone blocks: (sup, jrows [1+nf][nv], arefs [1+nf],
+    # dn lane, mu_eff float, scales (nf,) floats). Solved per-contact
+    # with the zone logic + exact cone Hessian (see ell_terms below);
+    # physics/constraint.py _contact_rows/_elliptic_terms semantics.
+    eblocks = []
+
+    def emit_elliptic(support, jn_row, jv_n, axes, gap, solref_c,
+                      solimp_c, invw):
+      """One elliptic contact block. axes: [(jrow, jv, mu_i)] friction
+      axes in [t0, t1, torsion, roll0, roll1][:condim-1] order.
+      Normal row: aref/D from kbi (spring+damper, gap-gated impedance);
+      friction rows: aref = -B*jv only (reference_constraint elliptic
+      semantics — no spring term, B static), D_i = D_N*(mu_i/mu_eff)^2
+      with mu_eff = mu0/sqrt(impratio)."""
+      mu = max(float(axes[0][2]), 1e-12) / np.sqrt(
+          max(c["impratio"], 1e-12))
+      aref_n, dn = kbi(gap, jv_n, solref_c, solimp_c,
+                       max(float(invw), 1e-12))
+      dmax = float(np.clip(solimp_c[1], 1e-4, 0.9999))
+      b_coef = 2.0 / max(dmax * float(solref_c[0]), 1e-12)
+      jrows = [jn_row]
+      arefs = [aref_n]
+      scales = []
+      for jrow, jv, mu_i in axes:
+        jrows.append(jrow)
+        arefs.append(-b_coef * jv)
+        scales.append(float(mu_i) / mu)
+      eblocks.append((tuple(support), jrows, arefs, dn, mu,
+                      np.asarray(scales, np.float64)))
     for j in range(m.njnt):
       if not m.jnt_limited[j]:
         continue
@@ -674,7 +714,11 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         return lm.vadd(v, lm.vcross(w, r))
 
       def add_contact(bid, pt, dist, nrm, ci):
-        """Pyramidal rows for one candidate contact at world point pt."""
+        """Rows for one candidate ground contact at world point pt.
+
+        Pyramidal cone: 4 one-sided rows Jn +/- mu*Jt (condim-3).
+        Elliptic cone: a per-contact cone block at the pair's full
+        condim (1/3/4/6) via emit_elliptic."""
         fri = cp.con_friction[ci]
         solref_c = cp.con_solref[ci]
         solimp_c = cp.con_solimp[ci]
@@ -682,7 +726,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         invw = (c["body_invweight0"][0][0] +
                 c["body_invweight0"][bid][0])
         gap = dist - incm
-        # contact frame: static normal -> static tangents
+        # contact frame: static normal -> static tangents (same
+        # ref-axis rule as collision.make_contact_frame)
         n_np = np.asarray(nrm, dtype=np.float64)
         refv = np.array([1.0, 0, 0]) if abs(n_np[0]) < 0.5 \
             else np.array([0, 1.0, 0])
@@ -704,15 +749,47 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         pv = point_vel(bid, pt)
         vdirs = [pv[0] * float(d_[0]) + pv[1] * float(d_[1]) +
                  pv[2] * float(d_[2]) for d_ in dirs]
-        mu = [float(fri[0]), float(fri[1])]
-        for fd in range(2):
+        condim_c = int(cp.con_condim[ci])
+        if condim_c == 1:
+          # frictionless: a single one-sided normal row (equivalent to
+          # the pipeline's two half-D pyramid rows at mu=0)
+          aref, dcoef = kbi(gap, vdirs[0], solref_c, solimp_c,
+                            max(float(invw), 1e-12))
+          rows.append((jdir[0], aref, dcoef))
+          return
+        axes = [(jdir[1], vdirs[1], float(fri[0])),
+                (jdir[2], vdirs[2], float(fri[1]))]
+        if condim_c > 3:
+          # torsion/rolling axes: angular Jacobian rows about the
+          # static frame dirs (plane is world-static: only bid's
+          # dofs move) — _contact_rows rjac semantics
+          wvel = cvel[bid][0]
+          rot_dirs = dirs if condim_c == 6 else dirs[:1]
+          for ax_i, dvec in zip((2, 3, 4), rot_dirs):
+            row = [None] * nv
+            for i in support:
+              wd = cdof[i][0]
+              row[i] = wd[0] * float(dvec[0]) + \
+                  wd[1] * float(dvec[1]) + wd[2] * float(dvec[2])
+            jv_r = wvel[0] * float(dvec[0]) + \
+                wvel[1] * float(dvec[1]) + wvel[2] * float(dvec[2])
+            axes.append((row, jv_r, float(fri[ax_i])))
+        if c["cone"] == 1:
+          emit_elliptic(support, jdir[0], vdirs[0], axes, gap,
+                        solref_c, solimp_c, invw)
+          return
+        mu0 = max(float(fri[0]), 1e-12)
+        # pyramidal: 2 one-sided rows per friction axis (incl. torsion/
+        # rolling for condim > 3), all sharing the friction[0]-based
+        # diag stiffened by impratio (pipeline _contact_rows:245-262)
+        iw = float(invw) * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) / \
+            max(c["impratio"], 1e-12)
+        for jrow_a, jv_a, mu_f in axes:
           for sign in (1.0, -1.0):
             jrow = [None] * nv
             for i in support:
-              jrow[i] = jdir[0][i] + sign * mu[fd] * jdir[1 + fd][i]
-            jv = vdirs[0] + sign * mu[fd] * vdirs[1 + fd]
-            iw = float(invw) * 2.0 * mu[fd] * mu[fd] * \
-                (1.0 + mu[fd] * mu[fd])
+              jrow[i] = jdir[0][i] + sign * mu_f * jrow_a[i]
+            jv = vdirs[0] + sign * mu_f * jv_a
             aref, dcoef = kbi(gap, jv, solref_c, solimp_c, max(iw, 1e-12))
             rows.append((jrow, aref, dcoef))
 
@@ -829,15 +906,42 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
 
         pv = lm.vsub(pvel(b2), pvel(b1))
         vdirs = [lm.vdot(pv, d_) for d_ in dirs]
-        mu = [float(fri[0]), float(fri[1])]
-        for fd in range(2):
+        condim_c = int(cp.con_condim[ci])
+        if condim_c == 1:
+          aref, dcoef = kbi(gap, vdirs[0], solref_c, solimp_c,
+                            max(float(invw), 1e-12))
+          rows.append((jdir[0], aref, dcoef))
+          return
+        axes = [(jdir[1], vdirs[1], float(fri[0])),
+                (jdir[2], vdirs[2], float(fri[1]))]
+        if condim_c > 3:
+          # torsion/rolling: relative angular Jacobian about the
+          # traced frame dirs (_contact_rows rjac: b2 minus b1)
+          wrel = lm.vsub(cvel[b2][0], cvel[b1][0])
+          rot_dirs = dirs if condim_c == 6 else dirs[:1]
+          for ax_i, dvec in zip((2, 3, 4), rot_dirs):
+            row = [None] * nv
+            for i in sup:
+              acc_d = None
+              for bb, sgn in ((b2, 1.0), (b1, -1.0)):
+                if m.body_dof_mask[bb][i] > 0:
+                  term = sgn * lm.vdot(cdof[i][0], dvec)
+                  acc_d = term if acc_d is None else acc_d + term
+              row[i] = acc_d
+            axes.append((row, lm.vdot(wrel, dvec), float(fri[ax_i])))
+        if c["cone"] == 1:
+          emit_elliptic(sup, jdir[0], vdirs[0], axes, gap,
+                        solref_c, solimp_c, invw)
+          return
+        mu0 = max(float(fri[0]), 1e-12)
+        iw = float(invw) * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) / \
+            max(c["impratio"], 1e-12)
+        for jrow_a, jv_a, mu_f in axes:
           for sign in (1.0, -1.0):
             jrow = [None] * nv
             for i in sup:
-              jrow[i] = jdir[0][i] + sign * mu[fd] * jdir[1 + fd][i]
-            jv = vdirs[0] + sign * mu[fd] * vdirs[1 + fd]
-            iw = float(invw) * 2.0 * mu[fd] * mu[fd] * \
-                (1.0 + mu[fd] * mu[fd])
+              jrow[i] = jdir[0][i] + sign * mu_f * jrow_a[i]
+            jv = vdirs[0] + sign * mu_f * jv_a
             aref, dcoef = kbi(gap, jv, solref_c, solimp_c, max(iw, 1e-12))
             rows.append((jrow, aref, dcoef))
 
@@ -972,7 +1076,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       qacc_p = lm.chol_solve_packed(M, rhs_p)
       qvel_new = [qvel[i] + h * qacc_p[i] for i in range(nv)]
       return integrate_qpos(qpos, qvel_new), qvel_new, res
-    if rows:
+    if rows or eblocks:
       zero = like * 0.0
       groups = {}
       for jrow, aref, dcoef in rows:
@@ -986,9 +1090,56 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         dcoefg = jnp.stack([dcoef + zero for _, _, dcoef in grows])
         packed.append((sup, jg, arefg, dcoefg))
 
+      # elliptic cone blocks stay per-contact (rows are COUPLED by the
+      # zone logic; they cannot merge into the gated-quadratic groups)
+      epacked = []
+      for sup, jrows, arefs, dn, mu, scales in eblocks:
+        jrs = [[jr[i] + zero for i in sup] for jr in jrows]
+        epacked.append((sup, jrs, [ar + zero for ar in arefs],
+                        dn + zero, mu, scales))
+
       def group_jar(a, sup, jg, arefg):
         ag = jnp.stack([a[i] for i in sup])           # (ns, K)
         return jnp.sum(jg * ag[None, :, :], axis=1) - arefg
+
+      def ell_jar(a, sup, jrs, arefs):
+        asup = [a[i] for i in sup]
+        return [sum(jr[il] * asup[il] for il in range(len(sup))) - ar
+                for jr, ar in zip(jrs, arefs)]
+
+      def ell_terms(jar_rows, dn, mu, scales):
+        """Elliptic cone cost expansion at jar — physics/constraint.py
+        _elliptic_terms in per-row component form. Zones in the scaled
+        space s_i = jar_i * scale_i, t = ||s||: bottom (mu*n + t <= 0)
+        full quadratic; top (n >= mu*t) zero force; middle convex cost
+        0.5*D_N/(1+mu^2)*(n - mu t)^2 with the EXACT cone Hessian
+        (diag + w_mid gz gz^T - w_cone cs cs^T). Returns (g rows,
+        h diagonal rows, w_mid, gz rows, w_cone, cs rows)."""
+        n_ = jar_rows[0]
+        nf = len(scales)
+        s_rows = [jar_rows[1 + i] * float(scales[i]) for i in range(nf)]
+        t = jnp.sqrt(sum(sr * sr for sr in s_rows))
+        tsafe = jnp.maximum(t, 1e-12)
+        bottom = (mu * n_ + t) <= 0.0
+        middle = (~bottom) & (n_ < mu * t)
+        w_coef = dn / (1.0 + mu * mu)
+        z = n_ - mu * t
+        shat = [sr / tsafe for sr in s_rows]
+        gz = [jnp.ones_like(n_)] + \
+            [-mu * shat[i] * float(scales[i]) for i in range(nf)]
+        cs = [jnp.zeros_like(n_)] + \
+            [shat[i] * float(scales[i]) for i in range(nf)]
+        wz = jnp.where(middle, w_coef * z, 0.0)
+        d_act = jnp.where(bottom, dn, 0.0)
+        w_cone = jnp.where(middle, w_coef * (-z) * mu / tsafe, 0.0)
+        g = [d_act * jar_rows[0] + wz * gz[0]]
+        h = [d_act]
+        for i in range(nf):
+          r2 = float(scales[i]) ** 2
+          g.append(d_act * r2 * jar_rows[1 + i] + wz * gz[1 + i])
+          h.append(d_act * r2 + w_cone * r2)
+        w_mid = jnp.where(middle, w_coef, 0.0)
+        return g, h, w_mid, gz, w_cone, cs
 
       # masked Newton on qacc with exact 1-D line search
       # (physics/constraint.solve schedule: opt.iterations Newton x
@@ -1016,6 +1167,34 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                 hupper[i][jdof] = hij
               else:
                 hupper[i][jdof] = hupper[i][jdof] + hij
+        # elliptic cone blocks: per-contact zone gradient + exact cone
+        # Hessian (diag via h_r, rank-1 via (w_mid, gz)/(w_cone, cs)
+        # projected onto the support dofs) — constraint.py newton_step
+        e_jars, e_gs = [], []
+        for sup, jrs, arefs, dn, mu, scales in epacked:
+          jar_rows = ell_jar(a, sup, jrs, arefs)
+          g_r, h_r, w_mid, gz, w_cone, cs = ell_terms(
+              jar_rows, dn, mu, scales)
+          e_jars.append(jar_rows)
+          e_gs.append(g_r)
+          ns = len(sup)
+          ngr = len(jrs)
+          v_l = [sum(gz[r] * jrs[r][il] for r in range(ngr))
+                 for il in range(ns)]
+          u_l = [sum(cs[r] * jrs[r][il] for r in range(ngr))
+                 for il in range(ns)]
+          for il, i in enumerate(sup):
+            gi = sum(jrs[r][il] * g_r[r] for r in range(ngr))
+            grad_l[i] = gi if grad_l[i] is None else grad_l[i] + gi
+            for jl in range(il, ns):
+              jdof = sup[jl]
+              hij = sum(h_r[r] * jrs[r][il] * jrs[r][jl]
+                        for r in range(ngr)) + \
+                  w_mid * v_l[il] * v_l[jl] - w_cone * u_l[il] * u_l[jl]
+              if hupper[i][jdof] is None:
+                hupper[i][jdof] = hij
+              else:
+                hupper[i][jdof] = hupper[i][jdof] + hij
         grad = jnp.stack([g if g is not None else zero for g in grad_l])
         hfull = jnp.stack([jnp.stack(
             [mrows[i][j] + (hupper[i][j] if j >= i and
@@ -1039,6 +1218,11 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
           for sup, jg, arefg, dcoefg in packed:
             psg = jnp.stack([pstep[i] for i in sup])
             jpss.append(jnp.sum(jg * psg[None, :, :], axis=1))
+          ejpss = []
+          for sup, jrs, arefs, dn, mu, scales in epacked:
+            psup = [pstep[i] for i in sup]
+            ejpss.append([sum(jr[il] * psup[il]
+                              for il in range(len(sup))) for jr in jrs])
 
           def dphi_lane(tls):
             dphi = pma + tls * pmp
@@ -1049,6 +1233,19 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
               act2 = dcoefg * (jart < 0)
               dphi = dphi + jnp.sum(act2 * jart * jps_g, axis=0)
               ddphi = ddphi + jnp.sum(act2 * jps_g * jps_g, axis=0)
+            for (sup, jrs, arefs, dn, mu, scales), jar_rows, jps_r in \
+                zip(epacked, e_jars, ejpss):
+              jart_rows = [jr_ + tls * jp_ for jr_, jp_ in
+                           zip(jar_rows, jps_r)]
+              g_t, h_t, w_mid_t, gz_t, w_cone_t, cs_t = ell_terms(
+                  jart_rows, dn, mu, scales)
+              ngr = len(jrs)
+              dphi = dphi + sum(g_t[r] * jps_r[r] for r in range(ngr))
+              vp = sum(gz_t[r] * jps_r[r] for r in range(ngr))
+              up = sum(cs_t[r] * jps_r[r] for r in range(ngr))
+              ddphi = ddphi + sum(h_t[r] * jps_r[r] * jps_r[r]
+                                  for r in range(ngr)) + \
+                  w_mid_t * vp * vp - w_cone_t * up * up
             return dphi, ddphi
 
           # Zero-extra-eval safeguard: the bracket is built from the
@@ -1066,6 +1263,8 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
               packed, jars, jpss):
             act0 = dcoefg * (jar_g < 0)
             dlo = dlo + jnp.sum(act0 * jar_g * jps_g, axis=0)
+          for g_r, jps_r in zip(e_gs, ejpss):
+            dlo = dlo + sum(g_r[r] * jps_r[r] for r in range(len(g_r)))
           lo = zero
           hi = jnp.full_like(like, _BIG)
           dhi = jnp.zeros_like(like)
@@ -1105,6 +1304,12 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
         fpart = jnp.sum(jg * (act_g * jar_g)[:, None, :], axis=0)
         for il, i in enumerate(sup):
           rhs_l[i] = rhs_l[i] - fpart[il]
+      for sup, jrs, arefs, dn, mu, scales in epacked:
+        jar_rows = ell_jar(a, sup, jrs, arefs)
+        g_r = ell_terms(jar_rows, dn, mu, scales)[0]
+        for il, i in enumerate(sup):
+          rhs_l[i] = rhs_l[i] - sum(jrs[r][il] * g_r[r]
+                                    for r in range(len(jrs)))
       rhs_p = jnp.stack(rhs_l)
 
     # ---- implicit-damping Euler (packed solve) ----
