@@ -78,7 +78,11 @@ def jaxpr_flops(jaxpr) -> int:
   return total
 
 
-def measure_ceiling(shape=(32, 128), n_ops=2000, reps=50):
+def measure_ceiling(shape=(512, 128), n_ops=20000, reps=5):
+  """VPU fma-chain ceiling. The workload is sized so ONE kernel call
+  runs for multiple ms — host dispatch + tunnel RTT (hundreds of us per
+  call on the shared axon tunnel) must be amortized or the 'ceiling'
+  measures launch latency, not the VPU."""
   def kernel(x_ref, o_ref):
     x = x_ref[...]
     y = x
@@ -110,6 +114,8 @@ def main():
   spec = task.lane_residual_spec()
   d0 = task.make_data()
 
+  # flop count: one step of the kernel's own math (step_array traces
+  # the same step_body the Pallas kernel runs), at lane width k
   kern = step_lane.build_rollout_kernel(
       m, horizon, config.num_spline_points, unroll=False,
       residual_fn=spec["fn"], residual_dim=spec["dim"],
@@ -118,42 +124,47 @@ def main():
       contact_geoms=getattr(task, "plan_contact_geoms", None))
   qpos0 = jnp.tile(d0.qpos[:, None], (1, k))
   qvel0 = jnp.tile(d0.qvel[:, None], (1, k))
-  vals = jnp.zeros((config.num_spline_points * m.nu, k), jnp.float32)
   aux = jnp.tile(spec["make_aux"](d0, task.residual_params)[:, None],
                  (1, k)).astype(jnp.float32)
-
-  # static FLOPs of ONE step of the kernel's own math, at lane width k
   closed = jax.make_jaxpr(kern.step_array)(qpos0, qvel0,
                                            jnp.zeros((m.nu, k)), 0, aux)
   step_flops = jaxpr_flops(closed.jaxpr)
   roll_flops = step_flops * horizon
 
-  res, fin = kern(qpos0, qvel0, vals, aux)
-  jax.block_until_ready(res)
+  # timed program: the BENCH flagship optimize (noise + in-kernel
+  # scoring + argmin + policy update — exactly what BENCH_r*.json times)
+  from mujoco_mpc_tpu.ops import sampling_lane
+  opt = jax.jit(sampling_lane.make_lane_optimize_fn(
+      task, config, unroll=False))
+  policy = sampling.initial_policy(m, config)
+  key = jax.random.PRNGKey(0)
+  pol, _ = opt(key, d0, policy)
+  jax.block_until_ready(pol.values)
   best = float("inf")
   for _ in range(3):
     t0 = time.perf_counter()
     for _ in range(5):
-      res, fin = kern(qpos0, qvel0, vals, aux)
-    jax.block_until_ready(res)
+      pol, _ = opt(key, d0, policy)
+    jax.block_until_ready(pol.values)
     best = min(best, (time.perf_counter() - t0) / 5)
 
   ceil = measure_ceiling()
   sustained = roll_flops / best
-  io_bytes = 4 * (qpos0.size + qvel0.size + vals.size + aux.size +
-                  res.size + fin.size)
-  print(f"kernel time:        {1e3*best:8.2f} ms "
+  io_bytes = 4 * (qpos0.size + qvel0.size + aux.size +
+                  k + k * m.nu * config.num_spline_points)
+  print(f"optimize time:      {1e3*best:8.2f} ms "
         f"({k/best:,.0f} rollouts/s)")
-  print(f"static FLOPs/rollout-batch: {roll_flops/1e9:.2f} GFLOP "
+  print(f"static FLOPs/iteration: {roll_flops/1e9:.2f} GFLOP "
         f"({step_flops/k/1e3:.1f} kFLOP per candidate-step)")
-  print(f"sustained:          {sustained/1e12:8.3f} TFLOP/s")
+  print(f"sustained:          {sustained/1e12:8.3f} TFLOP/s "
+        f"(rollout flops only / full-optimize time: a lower bound)")
   print(f"VPU fma ceiling:    {ceil/1e12:8.3f} TFLOP/s "
-        f"(measured, (32,128) f32 tiles)")
+        f"(measured fma chain, (512,128) f32)")
   print(f"VPU utilization:    {100*sustained/ceil:8.1f} % (conservative"
         f" — transcendentals/selects counted low)")
   print(f"HBM boundary:       {io_bytes/1e6:8.2f} MB/call = "
-        f"{io_bytes/best/1e9:,.1f} GB/s of ~819 GB/s "
-        f"({100*io_bytes/best/1e9/819:.1f}% — not bandwidth-bound)")
+        f"{io_bytes/best/1e9:,.2f} GB/s of ~819 GB/s "
+        f"— not bandwidth-bound; working set lives in VMEM")
 
 
 if __name__ == "__main__":
