@@ -86,8 +86,9 @@ def supports(m: Model, ground_only: bool = False,
   """Model class the kernel handles. With ground_only=True, non-ground
   candidate pairs (e.g. self-collisions) are DROPPED from the kernel's
   planning dynamics — a deliberate planning-model approximation. With
-  body_pairs=True, sphere/capsule/box body-body pairs are handled
-  in-kernel instead of dropped (hand manipulation models)."""
+  body_pairs=True, sphere/capsule/box body-body pairs (incl. box-box
+  vertex-in-box, pipeline _box_box semantics) are handled in-kernel
+  instead of dropped (hand manipulation models)."""
   jt = set(int(t) for t in m.jnt_type)
   if not jt <= {HINGE, SLIDE, FREE}:
     return False
@@ -1001,7 +1002,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
       _BODY_TYPES = {
           (coll.SPHERE, coll.SPHERE), (coll.SPHERE, coll.CAPSULE),
           (coll.CAPSULE, coll.CAPSULE), (coll.SPHERE, coll.BOX),
-          (coll.CAPSULE, coll.BOX)}
+          (coll.CAPSULE, coll.BOX), (coll.BOX, coll.BOX)}
       if body_pairs and cp is not None:
         ground_set = set()
         for g in _ground_groups(m):
@@ -1059,6 +1060,25 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                 end = lm.vadd(p1g, lm.vscale(ax, sgn_e * float(s1[1])))
                 sphere_box_contact(end, float(s1[0]), p2g, q2g, s2,
                                    b1, b2, ci, flip=False)
+            elif (t1_, t2_) == (coll.BOX, coll.BOX):
+              # vertex-in-box both ways (pipeline _box_box semantics,
+              # collision.py:516-539). The pipeline keeps the 4 deepest
+              # candidates per direction; the kernel emits all 8 —
+              # identical forces whenever <=4 corners per direction are
+              # active, since separated candidates carry D = 0.
+              for src, dst, flip in ((0, 1, False), (1, 0, True)):
+                pa, qa, sa = ((p1g, q1g, s1) if src == 0 else
+                              (p2g, q2g, s2))
+                pb, qb, sb = ((p2g, q2g, s2) if src == 0 else
+                              (p1g, q1g, s1))
+                for sx in (-1, 1):
+                  for sy in (-1, 1):
+                    for sz in (-1, 1):
+                      corner_l = [sx * float(sa[0]), sy * float(sa[1]),
+                                  sz * float(sa[2])]
+                      cw = lm.vadd(pa, lm.qrot(qa, cv(corner_l)))
+                      sphere_box_contact(cw, 0.0, pb, qb, sb,
+                                         b1, b2, ci, flip=flip)
 
     # ---- support-grouped packed-row Newton constraint solve ----
     # Rows are grouped by their STATIC dof-support pattern (a joint-limit

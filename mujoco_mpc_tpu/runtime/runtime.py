@@ -24,7 +24,14 @@ def _build():
 
 def _load():
   if not os.path.exists(_LIB):
-    _build()
+    # serialize the first build: concurrent importers (pytest-xdist
+    # workers, multiple services) must not race `make` on a fresh
+    # checkout — a half-written .so makes CDLL fail with OSError
+    import fcntl
+    with open(os.path.join(_DIR, ".build.lock"), "w") as lockf:
+      fcntl.flock(lockf, fcntl.LOCK_EX)
+      if not os.path.exists(_LIB):
+        _build()
   lib = ctypes.CDLL(_LIB)
   lib.mpc_policy_create.restype = ctypes.c_void_p
   lib.mpc_policy_create.argtypes = [ctypes.c_int32, ctypes.c_int32,

@@ -131,28 +131,28 @@ def main():
   step_flops = jaxpr_flops(closed.jaxpr)
   roll_flops = step_flops * horizon
 
-  # timed program: the BENCH flagship optimize (noise + in-kernel
-  # scoring + argmin + policy update — exactly what BENCH_r*.json times)
+  # timed program: the candidate SCORING path (the cost-sum kernel +
+  # weighted term reduction — the dominant phase of the bench flagship
+  # optimize; noise/argmin add ~5% on top per profile_lane.py)
   from mujoco_mpc_tpu.ops import sampling_lane
-  opt = jax.jit(sampling_lane.make_lane_optimize_fn(
+  returns_fn = jax.jit(sampling_lane.make_lane_returns_fn(
       task, config, unroll=False))
-  policy = sampling.initial_policy(m, config)
-  key = jax.random.PRNGKey(0)
-  pol, _ = opt(key, d0, policy)
-  jax.block_until_ready(pol.values)
+  cands = jnp.zeros((k, config.num_spline_points * m.nu), jnp.float32)
+  out = returns_fn(cands, d0)
+  jax.block_until_ready(out)
   best = float("inf")
   for _ in range(3):
     t0 = time.perf_counter()
     for _ in range(5):
-      pol, _ = opt(key, d0, policy)
-    jax.block_until_ready(pol.values)
+      out = returns_fn(cands, d0)
+    jax.block_until_ready(out)
     best = min(best, (time.perf_counter() - t0) / 5)
 
   ceil = measure_ceiling()
   sustained = roll_flops / best
   io_bytes = 4 * (qpos0.size + qvel0.size + aux.size +
                   k + k * m.nu * config.num_spline_points)
-  print(f"optimize time:      {1e3*best:8.2f} ms "
+  print(f"scoring time:       {1e3*best:8.2f} ms "
         f"({k/best:,.0f} rollouts/s)")
   print(f"static FLOPs/iteration: {roll_flops/1e9:.2f} GFLOP "
         f"({step_flops/k/1e3:.1f} kFLOP per candidate-step)")

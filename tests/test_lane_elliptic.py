@@ -196,6 +196,70 @@ def test_lane_kernel_elliptic_body_pairs_match_pipeline():
     np.testing.assert_allclose(got, ref, atol=2e-3, err_msg=f"t={t}")
 
 
+BOXBOX = """
+<mujoco model="boxbox">
+  <option timestep="0.002" gravity="0 0 -9.81" cone="elliptic"
+          impratio="10"/>
+  <worldbody>
+    <body name="base" pos="0 0 0.1">
+      <geom name="baseg" type="box" size="0.2 0.2 0.1" mass="0.6"
+            condim="6" friction="1.5 0.02 0.002"/>
+    </body>
+    <body name="top" pos="0.05 0.02 0.2795">
+      <freejoint/>
+      <geom name="topg" type="box" size="0.08 0.08 0.08" mass="0.2"
+            condim="6" friction="1.5 0.02 0.002"/>
+    </body>
+  </worldbody>
+  <custom>
+    <numeric name="solver_iterations" data="2"/>
+    <numeric name="solver_ls_iterations" data="2"/>
+  </custom>
+</mujoco>
+"""
+
+
+def test_lane_kernel_boxbox_elliptic_matches_pipeline():
+  """condim-6 elliptic box-on-box (the Bimanual Insert peg/socket
+  contact class, impratio=10): in-kernel vertex-in-box narrowphase +
+  cone blocks match the pipeline step for step. The lower box is
+  world-static so BOTH vertex-in-box directions run while the model
+  stays small enough to compile quickly."""
+  import mujoco
+  from mujoco_mpc_tpu.ops import step_lane
+  from mujoco_mpc_tpu.physics import forward as F
+  from mujoco_mpc_tpu.physics import model as M
+
+  mjm = mujoco.MjModel.from_xml_string(BOXBOX)
+  m = M.put_model(mjm)
+  assert step_lane.supports(m, ground_only=True, body_pairs=True)
+  h_hor, k = 10, 4
+  kernel = step_lane.build_rollout_kernel(m, h_hor, 1, interpret=True,
+                                          body_pairs=True)
+  q0 = np.tile(mjm.qpos0[:, None], (1, k)).astype(np.float32)
+  q0[2, :] = 0.2795  # top box on the base (~0.5mm penetration)
+  v0 = np.zeros((m.nv, k), np.float32)
+  v0[0, :] = 0.4     # top box sliding
+  v0[5, :] = 3.0     # top box spinning (torsion)
+  # kernel side runs EAGERLY: the 16 traced corner narrowphases make
+  # XLA:CPU's compile of this step graph pathologically slow (>10 min,
+  # flagged "Very slow compile" by XLA itself), while eager dispatch of
+  # the same math takes seconds. TPU/Mosaic compiles it fine (~6 min,
+  # verified on hardware); parity here pins the MATH.
+  step_k = kernel.step_array
+  step = jax.jit(lambda d: F.step(m, d))
+  qp, qv = jnp.asarray(q0), jnp.asarray(v0)
+  ctrl0 = jnp.zeros((0, k), jnp.float32)
+  d = M.make_data(m).replace(qpos=jnp.asarray(q0[:, 0]),
+                             qvel=jnp.asarray(v0[:, 0]))
+  for t in range(h_hor):
+    d = step(d)
+    qp, qv = step_k(qp, qv, ctrl0)
+    ref = np.concatenate([np.asarray(d.qpos), np.asarray(d.qvel)])
+    got = np.concatenate([np.asarray(qp[:, 0]), np.asarray(qv[:, 0])])
+    np.testing.assert_allclose(got, ref, atol=2e-3, err_msg=f"t={t}")
+
+
 @pytest.mark.slow
 def test_lane_kernel_fingers_model_elliptic_parity():
   """The FreeFingers model (condim-6 elliptic with torsion/rolling —
