@@ -98,6 +98,9 @@ def make_lane_returns_fn(task, config, interpret: bool = False,
   if spec is not None and risk0:
     cost_terms = tuple(zip(task.cost_spec.norm_types,
                            task.cost_spec.dims))
+  # optional per-task PLANNING pair-type whitelist (reduced plan model;
+  # e.g. Rubik drops cubie-cubie box-box pairs from planning)
+  body_pair_types = getattr(task, "plan_body_pair_types", None)
   if spec is not None:
     # record_states=False: the planner only needs residual rows + the
     # final state's finiteness, and the smaller output block lets the
@@ -108,13 +111,14 @@ def make_lane_returns_fn(task, config, interpret: bool = False,
         solver_ls_iters=solver_ls_iters, residual_fn=spec["fn"],
         residual_dim=spec["dim"], naux=spec["naux"],
         record_states=False, contact_geoms=contact_geoms,
-        cost_terms=cost_terms, body_pairs=body_pairs)
+        cost_terms=cost_terms, body_pairs=body_pairs,
+        body_pair_types=body_pair_types)
   else:
     kernel = step_lane.build_rollout_kernel(
         m, horizon, p, interpret=interpret, unroll=unroll,
         contact_types=contact_types, solver_iters=solver_iters,
         solver_ls_iters=solver_ls_iters, contact_geoms=contact_geoms,
-        body_pairs=body_pairs)
+        body_pairs=body_pairs, body_pair_types=body_pair_types)
   h = float(jax.device_get(m.opt.timestep))
   node_of = np.array([min(int(t * p / max(horizon - 1, 1)), p - 1)
                       for t in range(horizon)])

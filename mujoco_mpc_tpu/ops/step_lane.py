@@ -190,6 +190,7 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
                          contact_geoms=None,
                          cost_terms=None,
                          body_pairs: bool = False,
+                         body_pair_types=None,
                          ctrl_fn=None, naux_extra: int = 0,
                          scalar_rows: int = 0,
                          profile_phase: str = None) -> Callable:
@@ -1003,13 +1004,20 @@ def build_rollout_kernel(m: Model, horizon: int, num_nodes: int,
           (coll.SPHERE, coll.SPHERE), (coll.SPHERE, coll.CAPSULE),
           (coll.CAPSULE, coll.CAPSULE), (coll.SPHERE, coll.BOX),
           (coll.CAPSULE, coll.BOX), (coll.BOX, coll.BOX)}
+      # per-task pair-type whitelist (Task.plan_body_pair_types): a
+      # reduced PLANNING contact set in the reference's reduced-plan-
+      # model spirit — e.g. Rubik drops its 15 cubie-cubie box-box
+      # pairs (240 corner contacts) from planning to hold the <10 ms
+      # budget, exactly the set it planned with before box-box existed
+      allowed_types = (_BODY_TYPES if body_pair_types is None
+                       else frozenset(body_pair_types))
       if body_pairs and cp is not None:
         ground_set = set()
         for g in _ground_groups(m):
           for a_, b_ in zip(g.geom1, g.geom2):
             ground_set.add((int(a_), int(b_)))
         for g in cp.groups:
-          if g.types not in _BODY_TYPES:
+          if g.types not in _BODY_TYPES or g.types not in allowed_types:
             continue
           for pi in range(g.count):
             g1, g2 = int(g.geom1[pi]), int(g.geom2[pi])

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mujoco_mpc_tpu.physics import collision as coll
 from mujoco_mpc_tpu.physics import math as mm
 from mujoco_mpc_tpu.physics.model import Data, Model
 from mujoco_mpc_tpu.tasks import base
@@ -167,8 +168,15 @@ class Rubik(base.Task):
   # capsule-box body pairs); the palm box becomes a plane in the
   # reduced planning model (plan_xml) so cube support uses the cheap
   # static-plane path — the reference ships reduced plan models the
-  # same way
+  # same way. The 15 cubie-cubie box-box pairs stay sim-only (the
+  # face-turn machine holds cubies rigid during planning anyway; 240
+  # corner contacts would triple the kernel and break the <10 ms
+  # budget, BASELINE config 5).
   plan_body_pairs = True
+  plan_body_pair_types = frozenset({
+      (coll.SPHERE, coll.SPHERE), (coll.SPHERE, coll.CAPSULE),
+      (coll.CAPSULE, coll.CAPSULE), (coll.SPHERE, coll.BOX),
+      (coll.CAPSULE, coll.BOX)})  # everything but BOX-BOX
 
   def plan_xml(self) -> str:
     return _XML.replace(

@@ -697,8 +697,13 @@ def test_lane_kernel_body_contacts_match_pipeline():
       '<numeric name="solver_ls_iterations" data="1"/>')
   m = model_lib.put_model(mujoco.MjModel.from_xml_string(xml))
   assert step_lane.supports(m, ground_only=True, body_pairs=True)
+  # the task's planning pair-type whitelist keeps the cubie-cubie
+  # box-box pairs out (they are sim-only; including them makes this
+  # test's XLA:CPU compile pathological). Box-box parity itself is
+  # pinned in test_lane_elliptic.py.
   kernel = step_lane.build_rollout_kernel(
-      m, 2, 2, interpret=True, body_pairs=True)
+      m, 2, 2, interpret=True, body_pairs=True,
+      body_pair_types=task.plan_body_pair_types)
   rng = np.random.default_rng(13)
   d0 = task.make_data()
   k_c = 4
